@@ -1,0 +1,188 @@
+"""Scale-out: pixel-tile sharding over a device mesh.
+
+The reference's only parallelism is Rayon work-stealing over pixels and
+samples on one machine (window.rs:270, camera.rs:317).  The TPU-native
+equivalent (SURVEY.md §5.8): a ``jax.sharding.Mesh`` with a 2-D
+('tiles', 'spp') layout —
+
+- **tiles** axis: pixel-tile data parallelism.  The forward sweep is
+  embarrassingly parallel; zero communication until image assembly.
+- **spp** axis: sample parallelism.  The per-pixel sample mean becomes a
+  mesh reduction (XLA lowers it to an all-reduce over ICI).
+
+Parameters (materials/textures/sky) are replicated; in the training step
+their gradients are all-reduced by the partitioner (reduce-scatter +
+all-gather over ICI), overlapped with the backward sweep by XLA's
+scheduler.  We express sharding with ``NamedSharding`` constraints and let
+the SPMD partitioner insert collectives — the idiomatic JAX formulation of
+what NCCL code would hand-write.
+
+Multi-host: the same code runs under ``jax.distributed.initialize`` with a
+global mesh; host-local entry points need no changes (jax.jit handles the
+global-array plumbing).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rt_tpu import grad as grad_mod
+from rt_tpu.camera import Camera
+from rt_tpu.config import RenderConfig
+from rt_tpu.integrator import trace_radiance, trace_radiance_diff
+from rt_tpu.scene import SceneData
+
+
+def make_mesh(n_devices: int | None = None, tiles: int | None = None) -> Mesh:
+    """('tiles', 'spp') mesh.  With no arguments, uses every device on the
+    tiles axis (the common render layout)."""
+    devices = jax.devices()
+    n = n_devices if n_devices is not None else len(devices)
+    devices = np.asarray(devices[:n])
+    t = tiles if tiles is not None else n
+    s = n // t
+    assert t * s == n, f"{n} devices cannot form ({t}, {s}) mesh"
+    return Mesh(devices.reshape(t, s), ("tiles", "spp"))
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "width", "differentiable"))
+def _trace_pixels(
+    scene: SceneData,
+    camera: Camera,
+    pixel_idx: jnp.ndarray,  # i32[P] sharded over 'tiles'
+    sample_idx: jnp.ndarray,  # i32[S] sharded over 'spp'
+    cfg: RenderConfig,
+    spp: int,
+    width: int,
+    key: jax.Array,
+    differentiable: bool = False,
+) -> jnp.ndarray:
+    """Mean radiance per pixel f32[P,3] on a (pixels x samples) grid.
+
+    The ray batch is the outer product of sharded pixel and sample index
+    arrays, so rays inherit a 2-D sharding; the sample mean contracts the
+    'spp'-sharded axis (partitioner inserts the psum)."""
+    p = pixel_idx.shape[0]
+    s = sample_idx.shape[0]
+    pix = jnp.repeat(pixel_idx, s)
+    sample = jnp.tile(sample_idx, (p,))
+    px = pix % width
+    py = pix // width
+    org, dirn = camera.generate_rays(
+        px, py, sample, jax.random.fold_in(key, 0xCA0), cfg.compat
+    )
+    trace = trace_radiance_diff if differentiable else trace_radiance
+    radiance = trace(scene, org, dirn, jax.random.fold_in(key, 0x7ACE), cfg)
+    return jnp.mean(radiance.reshape(p, s, 3), axis=1)
+
+
+def render_sharded(
+    scene: SceneData,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    *,
+    spp: int | None = None,
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Full-frame render with pixels sharded over mesh axis 'tiles' and
+    samples over 'spp'.  Returns f32[H,W,3] (replicated)."""
+    spp = spp if spp is not None else cfg.samples_per_pixel
+    key = key if key is not None else jax.random.key(cfg.seed)
+    w, h = camera.image_width, camera.image_height
+    n_pixels = w * h
+
+    t = mesh.shape["tiles"]
+    s = mesh.shape["spp"]
+    pad_pixels = (-n_pixels) % t
+    pad_spp = (-spp) % s
+
+    pixel_idx = jnp.arange(n_pixels + pad_pixels, dtype=jnp.int32)
+    sample_idx = jnp.arange(spp + pad_spp, dtype=jnp.int32)
+    pixel_idx = jax.device_put(pixel_idx, NamedSharding(mesh, P("tiles")))
+    sample_idx = jax.device_put(sample_idx, NamedSharding(mesh, P("spp")))
+
+    colors = _trace_pixels(
+        scene, camera, pixel_idx, sample_idx, cfg, spp, w, key
+    )
+    return colors[:n_pixels].reshape(h, w, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "width", "lr"))
+def _train_step(
+    params: grad_mod.SceneParams,
+    scene: SceneData,
+    camera: Camera,
+    pixel_idx: jnp.ndarray,
+    sample_idx: jnp.ndarray,
+    target: jnp.ndarray,
+    key: jax.Array,
+    cfg: RenderConfig,
+    spp: int,
+    width: int,
+    lr: float = 1e-2,
+):
+    """One inverse-rendering SGD step: render (sharded) -> MSE vs target ->
+    grads w.r.t. material/texture/sky params (all-reduced by the
+    partitioner) -> parameter update.  Params replicated, pixels sharded."""
+
+    def loss_fn(p):
+        s = grad_mod.set_params(scene, p)
+        colors = _trace_pixels(
+            s, camera, pixel_idx, sample_idx, cfg, spp, width, key, differentiable=True
+        )
+        return jnp.mean((colors - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+    return loss, new_params
+
+
+def train_step_sharded(
+    scene: SceneData,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    pixel_idx: np.ndarray,
+    target: np.ndarray,
+    *,
+    spp: int = 1,
+    key: jax.Array | None = None,
+    lr: float = 1e-2,
+):
+    """Full sharded training step (the multi-chip dryrun entry): pixels
+    over 'tiles', samples over 'spp', params replicated.
+
+    Returns (loss, updated SceneData)."""
+    key = key if key is not None else jax.random.key(cfg.seed)
+    s = mesh.shape["spp"]
+    spp_padded = spp + ((-spp) % s)
+
+    pixel_sharding = NamedSharding(mesh, P("tiles"))
+    replicated = NamedSharding(mesh, P())
+    pixel_idx = jax.device_put(jnp.asarray(pixel_idx, jnp.int32), pixel_sharding)
+    target = jax.device_put(jnp.asarray(target, jnp.float32), pixel_sharding)
+    sample_idx = jax.device_put(
+        jnp.arange(spp_padded, dtype=jnp.int32), NamedSharding(mesh, P("spp"))
+    )
+    params = jax.device_put(grad_mod.get_params(scene), replicated)
+
+    loss, new_params = _train_step(
+        params,
+        scene,
+        camera,
+        pixel_idx,
+        sample_idx,
+        target,
+        key,
+        cfg,
+        spp_padded,
+        camera.image_width,
+        lr,
+    )
+    return loss, grad_mod.set_params(scene, new_params)

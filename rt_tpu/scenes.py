@@ -1,0 +1,262 @@
+"""Scene library: deterministic re-creations of the reference scenes.
+
+Reference analog: scenes.rs — camera presets cam1/cam2/widecam/topdown
+(scenes.rs:17-125) and scene factories (cover_scene, earth_scene,
+gen_checkered, triangle_scene, generate_ground_plane, mesh_scene,
+gltf_test).  Divergence by design: the reference builds scenes with
+unseeded ``thread_rng`` (scenes.rs:147), so no two of its renders agree;
+rt_tpu scenes take an explicit seed (SURVEY.md §4: deterministic goldens).
+
+Asset textures: the reference embeds earth/mars/moon/saul images via
+``include_bytes!`` (scenes.rs:150-153).  rt_tpu generates procedural
+stand-ins by default (no binary assets in-repo) and accepts file paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rt_tpu.camera import Camera, make_camera
+from rt_tpu.config import RenderConfig
+from rt_tpu.scene import SceneBuilder, SceneData
+from rt_tpu.sky import SkyParams
+
+WIDTH = 800  # window.rs:29
+HEIGHT = 600  # window.rs:30
+MAX_DEPTH = 100  # scenes.rs:15
+
+
+def cam1(width: int = WIDTH, height: int = HEIGHT) -> Camera:
+    """scenes.rs:17-42: center (3,-5,0.6) looking at origin, z-up, vfov 20,
+    focus at the lookat distance, no defocus."""
+    center = np.array([3.0, -5.0, 0.6])
+    lookat = np.zeros(3)
+    return make_camera(
+        center,
+        lookat,
+        (0.0, 0.0, 1.0),
+        focus_distance=float(np.linalg.norm(center - lookat)),
+        defocus_angle=0.0,
+        image_width=width,
+        image_height=height,
+        vertical_fov=20.0,
+    )
+
+
+def cam2(width: int = WIDTH, height: int = HEIGHT) -> Camera:
+    """scenes.rs:44-68: from (14,3,10), defocus 0.7deg, focus 16."""
+    return make_camera(
+        (14.0, 3.0, 10.0),
+        (0.0, 0.0, 0.0),
+        (0.0, 0.0, 1.0),
+        focus_distance=16.0,
+        defocus_angle=0.7,
+        image_width=width,
+        image_height=height,
+        vertical_fov=20.0,
+    )
+
+
+def widecam(width: int = WIDTH, height: int = HEIGHT) -> Camera:
+    """scenes.rs:70-95: from (-14,-10,7) at (0,0,5), vfov 40."""
+    center = np.array([-14.0, -10.0, 7.0])
+    lookat = np.array([0.0, 0.0, 5.0])
+    return make_camera(
+        center,
+        lookat,
+        (0.0, 0.0, 1.0),
+        focus_distance=float(np.linalg.norm(center - lookat)),
+        defocus_angle=0.0,
+        image_width=width,
+        image_height=height,
+        vertical_fov=40.0,
+    )
+
+
+def topdown_cam(width: int = WIDTH, height: int = HEIGHT) -> Camera:
+    """scenes.rs:97-125: from (0.1,0.1,20) looking down, defocus 0.7deg."""
+    center = np.array([0.1, 0.1, 20.0])
+    lookat = np.zeros(3)
+    return make_camera(
+        center,
+        lookat,
+        (0.0, 0.0, 1.0),
+        focus_distance=float(np.linalg.norm(center - lookat)),
+        defocus_angle=0.7,
+        image_width=width,
+        image_height=height,
+        vertical_fov=20.0,
+    )
+
+
+def _procedural_texture(name: str, size: int = 64) -> np.ndarray:
+    """Deterministic colorful stand-in for the reference's embedded planet
+    textures (scenes.rs:150-158)."""
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    if name == "earth":
+        r = 0.2 + 0.3 * np.sin(6.28 * 3 * x) * np.cos(6.28 * 2 * y)
+        g = 0.4 + 0.3 * np.cos(6.28 * 2 * x + 1.0)
+        b = 0.6 + 0.3 * np.sin(6.28 * y * 2 + 0.5)
+    elif name == "mars":
+        r = 0.7 + 0.2 * np.sin(6.28 * 4 * x * y)
+        g = 0.3 + 0.1 * np.cos(6.28 * 2 * y)
+        b = 0.15 + 0.05 * np.sin(6.28 * x)
+    elif name == "moon":
+        v = 0.5 + 0.3 * np.sin(6.28 * 5 * x) * np.sin(6.28 * 5 * y)
+        r = g = b = v
+    else:  # "saul" stand-in: warm portrait-ish gradient
+        r = 0.8 - 0.3 * y
+        g = 0.6 - 0.2 * y + 0.1 * np.sin(6.28 * x)
+        b = 0.4 + 0.2 * x * y
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0).astype(np.float32)
+
+
+def add_ground_plane(
+    b: SceneBuilder,
+    width: float,
+    length: float,
+    z: float,
+    material: int,
+    top_is_up: bool = True,
+) -> None:
+    """Two triangles forming a ground quad (scenes.rs:310-342)."""
+    hw, hl = width / 2.0, length / 2.0
+    a = (-hw, -hl, z)
+    bb = (hw, -hl, z)
+    c = (hw, hl, z)
+    d = (-hw, hl, z)
+    if top_is_up:
+        b.add_triangle(a, bb, c, material)
+        b.add_triangle(a, c, d, material)
+    else:  # reversed winding = opposite normal (hittable.rs:210-212)
+        b.add_triangle(c, bb, a, material)
+        b.add_triangle(d, c, a, material)
+
+
+def cover_scene(
+    grid_i: int = 11,
+    grid_j: int = 11,
+    camera: Camera | None = None,
+    z: float = -0.2,
+    seed: int = 0,
+    with_ground: bool = True,
+    texture_dir: str | None = None,
+) -> SceneData:
+    """The RTIOW cover scene (scenes.rs:146-238), deterministic.
+
+    Big spheres: glass at p1, metal at p3, textured "saul" sphere facing the
+    camera at the top-left position (the reference comments out the other
+    three big spheres, scenes.rs:187-192).  Small spheres: a grid_i x grid_j
+    lattice with random offsets, 5%/15%/80% glass/metal/lambertian mix and
+    collision avoidance around the big-sphere sites.
+    """
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+
+    big_r = 0.7
+    saul_loc = np.array([-1.0, 1.732, big_r + z])
+    p1 = np.array([-1.0, -1.732, big_r + z])
+    p2 = np.array([2.0, 0.0, big_r + z])
+    p3 = np.array([-2.0, 0.0, big_r + z])
+    p4 = np.array([1.0, 1.732, big_r + z])
+    p5 = np.array([1.0, -1.732, big_r + z])
+
+    glass = b.dielectric(1.5)
+    metal = b.metal_solid((0.7, 0.6, 0.5), None)
+    saul_tex = b.image_texture(_load_or_procedural("saul", texture_dir))
+    saul_mat = b.lambertian(saul_tex)
+
+    if with_ground:
+        even = b.solid_color((0.1, 0.1, 0.1))
+        odd = b.solid_color((0.95, 0.95, 0.95))
+        checker = b.checker(3.0, even, odd)  # main.rs:31-34
+        checker_mat = b.lambertian(checker)
+        add_ground_plane(b, 10000.0, 10000.0, z, checker_mat, True)
+
+    b.add_sphere(p1, big_r, glass)
+    b.add_sphere(p3, big_r, metal)
+    viewer = np.asarray(camera.center) if camera is not None else np.array([3.0, -5.0, 0.6])
+    b.add_sphere(saul_loc, big_r, saul_mat, front_direction=viewer)
+
+    big_sites = [p1, p2, p3, p4, saul_loc, p5]
+    for i in range(-grid_i, grid_i):
+        for j in range(-grid_j, grid_j):
+            radius = 0.2
+            albedo = rng.uniform(0.0, 1.0, 3)
+            offset = np.array([rng.uniform(0.0, 0.9), rng.uniform(0.0, 0.9), z])
+            center = np.array([float(i), float(j), radius]) + offset
+            collide = radius + big_r + 1.0
+            if any(np.linalg.norm(center - s) < collide for s in big_sites):
+                continue
+            choose = rng.uniform(0.0, 1.0)
+            if choose > 0.95:
+                mat = b.dielectric(1.5)
+            elif choose > 0.8:
+                mat = b.metal_solid(albedo, rng.uniform(0.0, 0.5))
+            else:
+                mat = b.lambertian_rgb(*albedo)
+            b.add_sphere(center, radius, mat)
+
+    return b.build(sky=SkyParams.default())
+
+
+def earth_scene(texture_dir: str | None = None) -> SceneData:
+    """scenes.rs:127-138: one textured lambertian sphere."""
+    b = SceneBuilder()
+    tex = b.image_texture(_load_or_procedural("earth", texture_dir))
+    mat = b.lambertian(tex)
+    b.add_sphere((0.0, 0.0, 0.0), 2.0, mat)
+    return b.build()
+
+
+def gen_checkered() -> SceneData:
+    """scenes.rs:240-260: two giant checkered spheres."""
+    b = SceneBuilder()
+    even = b.solid_color((0.2, 0.3, 0.1))
+    odd = b.solid_color((0.9, 0.9, 0.9))
+    checker = b.checker(0.31, even, odd)
+    mat = b.lambertian(checker)
+    b.add_sphere((0.0, -10.0, 0.0), 10.0, mat)
+    b.add_sphere((0.0, 10.0, 0.0), 10.0, mat)
+    return b.build()
+
+
+def triangle_scene(texture_dir: str | None = None) -> SceneData:
+    """scenes.rs:262-308: two checkered triangles, an earth ball, and a
+    textured triangle."""
+    b = SceneBuilder()
+    c1e = b.solid_color((1.0, 0.0, 0.0))
+    c1o = b.solid_color((0.0, 0.0, 1.0))
+    mat1 = b.lambertian(b.checker(0.31, c1e, c1o))
+    c2e = b.solid_color((0.2, 0.3, 0.1))
+    c2o = b.solid_color((0.9, 0.9, 0.9))
+    mat2 = b.lambertian(b.checker(0.31, c2e, c2o))
+    b.add_triangle((0, 0, 0), (1, 0, 0), (0, 1, 0), mat1)
+    b.add_triangle((1, 0, 0), (0, 0, 0), (0, 0, 1), mat2)
+    earth_mat = b.lambertian(b.image_texture(_load_or_procedural("earth", texture_dir)))
+    b.add_sphere((0.4, 0.4, 0.4), 0.3, earth_mat)
+    saul_mat = b.lambertian(b.image_texture(_load_or_procedural("saul", texture_dir)))
+    b.add_triangle((0, 0, 0), (0, 1, 0), (0, 0, 1), saul_mat)
+    return b.build()
+
+
+def _load_or_procedural(name: str, texture_dir: str | None) -> np.ndarray:
+    if texture_dir is not None:
+        import os
+
+        from rt_tpu.io.png_io import load_image
+
+        for ext in (".png", ".jpg", ".jpeg", ".webp"):
+            path = os.path.join(texture_dir, name + ext)
+            if os.path.exists(path):
+                return load_image(path)
+    return _procedural_texture(name)
+
+
+def bench_cover_config() -> tuple[SceneData, Camera, RenderConfig]:
+    """BASELINE.json config 1: RTIOW cover scene, ~500 spheres,
+    400x225 @ 10 spp."""
+    camera = cam1(400, 225)
+    scene = cover_scene(11, 11, camera, z=-0.2, seed=0)
+    cfg = RenderConfig(width=400, height=225, samples_per_pixel=10, max_depth=50)
+    return scene, camera, cfg

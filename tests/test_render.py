@@ -1,0 +1,56 @@
+import numpy as np
+import jax
+
+from rt_tpu import scenes
+from rt_tpu.config import RenderConfig
+from rt_tpu.render import render_image, render_pixel_colors
+
+
+def test_end_to_end_small_cover_render():
+    """Minimum end-to-end slice (SURVEY.md §7 step 3): the cover scene
+    renders on one device, finite, non-black, sky on top."""
+    camera = scenes.cam1(64, 36)
+    scene = scenes.cover_scene(3, 3, camera, z=-0.2, seed=0)
+    cfg = RenderConfig(width=64, height=36, samples_per_pixel=2, max_depth=8)
+    img, metrics = render_image(scene, camera, cfg)
+    assert img.shape == (36, 64, 3)
+    assert np.all(np.isfinite(img))
+    assert img.max() > 0.05
+    assert metrics["mray_per_s"] > 0
+    # Top rows see sky (bright-ish), not black.
+    assert img[0].mean() > 0.05
+
+
+def test_render_deterministic():
+    camera = scenes.cam1(32, 18)
+    scene = scenes.cover_scene(2, 2, camera, seed=0)
+    cfg = RenderConfig(width=32, height=18, samples_per_pixel=2, max_depth=6)
+    a = np.asarray(render_pixel_colors(scene, camera, cfg))
+    b = np.asarray(render_pixel_colors(scene, camera, cfg))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_render_chunked_matches_unchunked():
+    """Chunking over pixels must not change the image (same per-chunk keys
+    folded from pixel-chunk start)."""
+    camera = scenes.cam1(32, 18)
+    scene = scenes.cover_scene(2, 2, camera, seed=0)
+    cfg = RenderConfig(width=32, height=18, samples_per_pixel=2, max_depth=6)
+    full = np.asarray(render_pixel_colors(scene, camera, cfg))
+    small = cfg.replace(max_rays_per_batch=32 * 2)  # 32 pixels per chunk
+    chunked = np.asarray(render_pixel_colors(scene, camera, small))
+    assert full.shape == chunked.shape
+    # Keys are folded per chunk start, so images differ in noise but both
+    # must be valid; compare means loosely.
+    assert abs(full.mean() - chunked.mean()) < 0.1
+
+
+def test_sample_offset_progressive_accumulation():
+    camera = scenes.cam1(16, 9)
+    scene = scenes.cover_scene(2, 2, camera, seed=0)
+    cfg = RenderConfig(width=16, height=9, samples_per_pixel=4, max_depth=6)
+    key = jax.random.key(0)
+    a = np.asarray(render_pixel_colors(scene, camera, cfg, spp=4, sample_offset=0, key=key))
+    b = np.asarray(render_pixel_colors(scene, camera, cfg, spp=4, sample_offset=4, key=key))
+    assert not np.array_equal(a, b)  # different Halton jitters
+    assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
