@@ -268,10 +268,28 @@ def hit_attributes(
 
 
 def nearest_hit(
-    scene: SceneData, org, dirn, t_min, t_max, compat: CompatConfig = CompatConfig()
+    scene: SceneData,
+    org,
+    dirn,
+    t_min,
+    t_max,
+    compat: CompatConfig = CompatConfig(),
+    impl: str = "auto",
 ) -> HitRecord:
-    """Nearest-hit query: BVH traversal when the scene has one, else brute
-    force — the World::hit analog (hittable.rs:135-149)."""
+    """Nearest-hit query — the World::hit analog (hittable.rs:135-149).
+
+    impl:
+      - "auto": BVH when the scene has one, else XLA brute force.  Fully
+        differentiable (the gradient path must use this).
+      - "pallas": fused Pallas sphere kernel (rt_tpu/pallas_ops.py) +
+        XLA triangles; forward-only.  Falls back to "auto" off-TPU.
+    """
+    if impl == "pallas" and scene.bvh is None:
+        from rt_tpu import pallas_ops
+
+        if pallas_ops.available():
+            t, prim = _nearest_pallas(scene, org, dirn, t_min, t_max, compat)
+            return hit_attributes(scene, org, dirn, t, prim, compat)
     if scene.bvh is not None:
         from rt_tpu.bvh.traverse import nearest_hit_bvh
 
@@ -279,3 +297,30 @@ def nearest_hit(
     else:
         t, prim = nearest_hit_bruteforce(scene, org, dirn, t_min, t_max, compat)
     return hit_attributes(scene, org, dirn, t, prim, compat)
+
+
+def _nearest_pallas(scene: SceneData, org, dirn, t_min, t_max, compat: CompatConfig):
+    """Fused-kernel spheres + XLA triangles, merged to the global nearest."""
+    from rt_tpu import pallas_ops
+
+    t_best = jnp.full(org.shape[:1], BIG, jnp.float32)
+    prim_best = jnp.full(org.shape[:1], -1, jnp.int32)
+    if scene.num_spheres > 0:
+        s_t, s_idx = pallas_ops.sphere_nearest(
+            org, dirn, scene.sph_center, scene.sph_radius, float(t_min), float(t_max)
+        )
+        better = s_t < t_best
+        t_best = jnp.where(better, s_t, t_best)
+        prim_best = jnp.where(better & (s_idx >= 0), s_idx, prim_best)
+    if scene.num_triangles > 0:
+        tt, _, _ = triangle_candidate(
+            org, dirn, scene.tri_a, scene.tri_b, scene.tri_c, t_min, t_max, compat
+        )
+        t_idx = jnp.argmin(tt, axis=-1)
+        t_t = jnp.take_along_axis(tt, t_idx[:, None], axis=-1)[:, 0]
+        better = t_t < t_best
+        t_best = jnp.where(better, t_t, t_best)
+        prim_best = jnp.where(
+            better, t_idx.astype(jnp.int32) + scene.num_spheres, prim_best
+        )
+    return t_best, prim_best

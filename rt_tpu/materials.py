@@ -69,7 +69,7 @@ def scatter(
     key: jax.Array,
     compat: CompatConfig = CompatConfig(),
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched Scatter::scatter (material.rs:38-44).
+    """Batched Scatter::scatter (material.rs:38-44) with batch-keyed draws.
 
     Args:
       rec: nearest-hit payload (values at missed lanes are ignored by the
@@ -83,6 +83,43 @@ def scatter(
       origin is the hit point (offset applied by the integrator).
     """
     n = dir_in.shape[0]
+    u_lam = sampling.random_unit(jax.random.fold_in(key, 1), (n,))
+    u_fuzz = sampling.random_unit(jax.random.fold_in(key, 2), (n,))
+    noise = jax.random.uniform(jax.random.fold_in(key, 3), (n,), jnp.float32)
+    return scatter_with_randoms(scene, rec, dir_in, u_lam, u_fuzz, noise, compat)
+
+
+def scatter_hashed(
+    scene: SceneData,
+    rec: HitRecord,
+    dir_in: jnp.ndarray,
+    seed: int,
+    work: jnp.ndarray,
+    depth: jnp.ndarray,
+    compat: CompatConfig = CompatConfig(),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Scatter with hash-RNG draws keyed on (seed, work_id, depth) — the
+    wavefront hot path (see rt_tpu/rng.py).  Deterministic per path segment
+    regardless of pool layout."""
+    from rt_tpu import rng
+
+    u_lam = rng.unit_vector(seed, work, depth, 1)
+    u_fuzz = rng.unit_vector(seed, work, depth, 2)
+    noise = rng.uniform(seed, work, depth, 9)
+    return scatter_with_randoms(scene, rec, dir_in, u_lam, u_fuzz, noise, compat)
+
+
+def scatter_with_randoms(
+    scene: SceneData,
+    rec: HitRecord,
+    dir_in: jnp.ndarray,
+    u_lam: jnp.ndarray,
+    u_fuzz: jnp.ndarray,
+    noise: jnp.ndarray,
+    compat: CompatConfig = CompatConfig(),
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Pure BSDF math given pre-drawn randoms: u_lam/u_fuzz unit f32[N,3]
+    (reference-distribution random_unit), noise uniform f32[N]."""
     mat_id = jnp.clip(rec.material, 0, scene.mat_kind.shape[0] - 1)
     kind = scene.mat_kind[mat_id]
     fuzz = scene.mat_fuzz[mat_id]
@@ -91,10 +128,6 @@ def scatter(
 
     tex_rgb = texture_value(scene, tex_id, rec.uv, rec.point)
     normal = rec.normal
-
-    u_lam = sampling.random_unit(jax.random.fold_in(key, 1), (n,))
-    u_fuzz = sampling.random_unit(jax.random.fold_in(key, 2), (n,))
-    noise = jax.random.uniform(jax.random.fold_in(key, 3), (n,), jnp.float32)
 
     # Lambertian (material.rs:110-120).
     lam_dir = normal + u_lam

@@ -71,13 +71,29 @@ def render_pixel_colors(
     spp: int | None = None,
     sample_offset: int = 0,
     key: jax.Array | None = None,
+    wavefront: bool = True,
 ) -> jnp.ndarray:
     """Render the full frame to a linear-color device array f32[H,W,3]
-    (reference analog: render_image, camera.rs:327-341, minus file I/O)."""
+    (reference analog: render_image, camera.rs:327-341, minus file I/O).
+
+    ``wavefront=True`` (default) uses the persistent-wavefront integrator
+    with ray regeneration (rt_tpu/wavefront.py) — ~occupancy-1 regardless
+    of path-length variance.  ``wavefront=False`` falls back to the simple
+    chunked megabatch (used by the differentiable path and as a reference
+    implementation)."""
     spp = spp if spp is not None else cfg.samples_per_pixel
     key = key if key is not None else jax.random.key(cfg.seed)
     w, h = camera.image_width, camera.image_height
     n_pixels = w * h
+
+    if wavefront:
+        from rt_tpu.wavefront import render_wavefront
+
+        pixel_idx = jnp.arange(n_pixels, dtype=jnp.int32)
+        flat = render_wavefront(
+            scene, camera, pixel_idx, cfg, spp, jnp.int32(sample_offset), key
+        )
+        return flat.reshape(h, w, 3)
 
     pixels_per_chunk = max(cfg.max_rays_per_batch // max(spp, 1), 1)
     chunks = []

@@ -100,9 +100,21 @@ class SceneData(struct.PyTreeNode):
 
     bvh: BvhArrays | None = None
 
+    # Hot-path acceleration data (forward renderer only; see
+    # rt_tpu/fast_shade.py).  ``shade_table`` packs every per-primitive
+    # shading parameter into one dense f32[F, P] matrix so the wavefront
+    # fetches a hit's full parameter set with a single one-hot MXU matmul
+    # instead of ~20 XLA gathers (~1 ms each on TPU).  None when the scene
+    # uses a texture configuration the packed table can't express
+    # (checker with non-solid children) — the generic path still works.
+    shade_table: jnp.ndarray | None = None  # f32[F, P_pad]
+    sph_packed: jnp.ndarray | None = None  # f32[S_pad, 4] kernel layout
+    tri_packed: jnp.ndarray | None = None  # f32[T_pad, 12] kernel layout
+
     # Static metadata.
     num_spheres: int = struct.field(pytree_node=False, default=0)
     num_triangles: int = struct.field(pytree_node=False, default=0)
+    has_image_textures: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_prims(self) -> int:
@@ -314,7 +326,34 @@ class SceneBuilder:
             if tx.kind == TEX_IMAGE:
                 tex_rect[i] = offsets[rect_of[i]]
 
+        from rt_tpu.fast_shade import build_shade_table
+
+        shade_np = build_shade_table(
+            sph_center, sph_radius, sph_front, sph_mat,
+            tri_a, tri_b, tri_c, tri_normal, tri_uv, tri_mat,
+            mat_kind, mat_tex, mat_fuzz, mat_ior,
+            tex_kind, tex_color, tex_inv_scale, tex_children, tex_rect,
+            len(self._spheres), len(self._triangles),
+        )
+        # Kernel-layout sphere table (see pallas_ops.sphere_nearest).
+        s_pad = -(-s // 128) * 128
+        sph_packed = np.zeros((s_pad, 4), np.float32)
+        sph_packed[:s, 0:3] = sph_center
+        sph_packed[:s, 3] = sph_radius
+
+        # Kernel-layout triangle table: a.xyz, e1.xyz, e2.xyz, valid, pad.
+        t_pad = -(-t // 64) * 64
+        tri_packed = np.zeros((t_pad, 12), np.float32)
+        tri_packed[:t, 0:3] = tri_a
+        tri_packed[:t, 3:6] = tri_b - tri_a
+        tri_packed[:t, 6:9] = tri_c - tri_a
+        tri_packed[: len(self._triangles), 9] = 1.0  # real (non-dummy) rows
+
         scene = SceneData(
+            shade_table=jnp.asarray(shade_np) if shade_np is not None else None,
+            sph_packed=jnp.asarray(sph_packed),
+            tri_packed=jnp.asarray(tri_packed),
+            has_image_textures=any(t.kind == TEX_IMAGE for t in self._textures),
             sph_center=jnp.asarray(sph_center),
             sph_radius=jnp.asarray(sph_radius),
             sph_front_dir=jnp.asarray(sph_front),

@@ -1,0 +1,417 @@
+"""Persistent-wavefront integrator with ray regeneration.
+
+The naive wavefront (integrator.py) advances one megabatch of rays through
+the bounce loop and pays full cost per iteration even when most lanes have
+retired — and dielectric lanes (attenuation (1,1,1) => RR p=1,
+material.rs:174-177) never retire early, so the loop runs to max_depth with
+~1-5% occupancy.  This module is the TPU-native fix, the analog of GPU
+"persistent threads" wavefront tracing:
+
+- a fixed-size ray *pool* (static shape B) holds in-flight path segments;
+- each ``lax.while_loop`` iteration advances every active lane one bounce;
+- lanes that retire (miss -> sky contribution, absorb, RR kill) immediately
+  *regenerate*: they claim the next (pixel, sample) work item from a global
+  counter, emit a fresh camera ray, and keep the pool full;
+- contributions land in a per-work-item buffer via unique-index scatter
+  (radiance materializes exactly once per path — at the sky miss), and the
+  pixel/sample mean is a dense reduction at the end.
+
+Two implementations share that skeleton:
+
+- the **fast path** (``_render_fast``): ray state packed as f32[16, B]
+  component rows, sphere intersection in the fused Pallas kernel
+  (pallas_ops.py), shading via the one-hot-matmul parameter fetch and
+  scalarized math (fast_shade.py).  Requires scene.shade_table and brute-
+  force-sized triangle counts.
+- the **generic path** (``_render_generic``): [B,3] arrays and the
+  readable geometry/materials modules; handles every scene (BVH meshes,
+  exotic textures) and doubles as the correctness reference for the fast
+  path.
+
+RNG: the stateless hash generator (rt_tpu/rng.py) keyed on
+(seed, work_id, depth, purpose) — per-sample deterministic and independent
+of pool size, chunking, or which implementation runs.
+
+Forward-only (the while_loop is not reverse-differentiable); gradients use
+integrator.trace_radiance_diff.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from rt_tpu import fast_shade, materials, rng, sampling, sky
+from rt_tpu.camera import Camera
+from rt_tpu.config import RenderConfig
+from rt_tpu.geometry import nearest_hit
+from rt_tpu.scene import SceneData
+
+MAX_FAST_TRIANGLES = 128  # brute-force triangle budget for the fast path
+
+
+def render_wavefront(
+    scene: SceneData,
+    camera: Camera,
+    pixel_idx: jnp.ndarray,  # i32[P] flattened pixel ids (y * W + x)
+    cfg: RenderConfig,
+    spp: int,
+    sample_offset: jnp.ndarray,
+    key: jax.Array,
+    pool_size: int = 1 << 17,
+) -> jnp.ndarray:
+    """Mean radiance per pixel f32[P,3] over ``spp`` samples."""
+    fast_ok = (
+        scene.shade_table is not None
+        and scene.bvh is None
+        and scene.num_triangles <= MAX_FAST_TRIANGLES
+    )
+    impl = _render_fast if fast_ok else _render_generic
+    return impl(scene, camera, pixel_idx, cfg, spp, sample_offset, key, pool_size)
+
+
+def _seed_from_key(key: jax.Array) -> jnp.ndarray:
+    """32-bit hash-RNG seed derived from the caller's key so the public
+    API stays key-based."""
+    return jax.random.key_data(key).reshape(-1)[-1].astype(jnp.uint32)
+
+
+def _camera_jitter(camera: Camera, cfg: RenderConfig, seed, pix, sample):
+    """Sub-pixel Halton jitter (+ optional per-pixel scramble) as rows."""
+    off_u, off_v = sampling.halton_pair(sample)
+    if not cfg.compat.shared_halton_jitter:
+        off_u = jnp.mod(off_u + rng.uniform(seed, pix, 0, 5), 1.0)
+        off_v = jnp.mod(off_v + rng.uniform(seed, pix, 0, 6), 1.0)
+    return off_u, off_v
+
+
+# ---------------------------------------------------------------------------
+# Fast path: [16, B] row state + Pallas intersection + scalarized shading.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "pool_size"))
+def _render_fast(
+    scene: SceneData,
+    camera: Camera,
+    pixel_idx: jnp.ndarray,
+    cfg: RenderConfig,
+    spp: int,
+    sample_offset: jnp.ndarray,
+    key: jax.Array,
+    pool_size: int = 1 << 17,
+) -> jnp.ndarray:
+    from rt_tpu import pallas_ops
+
+    p = pixel_idx.shape[0]
+    total_work = p * spp
+    b = min(pool_size, max(-(-total_work // 256) * 256, 256))
+    width = camera.image_width
+    seed = _seed_from_key(key)
+    use_pallas = pallas_ops.available()
+
+    # Camera frame as scalar components.
+    p00 = camera.pixel00_loc
+    du = camera.pixel_du
+    dv = camera.pixel_dv
+    dku = camera.defocus_disk_u
+    dkv = camera.defocus_disk_v
+    center = camera.center
+
+    def camera_rays(work_ids):
+        slot = work_ids % p
+        sample = (work_ids // p).astype(jnp.int32) + sample_offset
+        pix = pixel_idx[jnp.clip(slot, 0, p - 1)]
+        px = (pix % width).astype(jnp.float32)
+        py = (pix // width).astype(jnp.float32)
+        off_u, off_v = _camera_jitter(camera, cfg, seed, pix, sample)
+        fx = px + off_u
+        fy = py + off_v
+        sx = p00[0] + fx * du[0] + fy * dv[0]
+        sy = p00[1] + fx * du[1] + fy * dv[1]
+        sz = p00[2] + fx * du[2] + fy * dv[2]
+        # Defocus disk sample (camera.rs:366-371), polar transform; draw
+        # indices match rng.in_unit_disc(purpose=7) so both wavefront
+        # implementations consume identical streams (c = 3*7 and 3*7+1).
+        r = jnp.sqrt(rng.uniform(seed, work_ids, 0, 21))
+        th = rng.uniform(seed, work_ids, 0, 22) * (2.0 * jnp.pi)
+        dskx = r * jnp.cos(th)
+        dsky = r * jnp.sin(th)
+        use_dk = camera.defocus_angle > 0.0
+        ox = jnp.where(use_dk, center[0] + dskx * dku[0] + dsky * dkv[0], center[0])
+        oy = jnp.where(use_dk, center[1] + dskx * dku[1] + dsky * dkv[1], center[1])
+        oz = jnp.where(use_dk, center[2] + dskx * dku[2] + dsky * dkv[2], center[2])
+        zeros = jnp.zeros_like(ox)
+        rays = jnp.stack([ox, oy, oz, sx - ox, sy - oy, sz - oz, zeros, zeros], 0)
+        return rays, slot
+
+    def intersect(rays, n):
+        if scene.num_spheres + scene.num_triangles == 0:
+            return (
+                jnp.full((n,), fast_shade.BIG, jnp.float32),
+                jnp.full((n,), -1, jnp.int32),
+            )
+        if use_pallas:
+            return pallas_ops.prim_nearest_packed(
+                rays,
+                scene.sph_packed,
+                scene.tri_packed,
+                scene.num_spheres,
+                cfg.t_min,
+                cfg.t_max,
+                cfg.compat.triangle_backface_cull,
+            )
+        # XLA fallback (CPU tests).
+        t_s, id_s = (
+            fast_shade.sphere_nearest_rows(scene, rays, cfg.t_min, cfg.t_max)
+            if scene.num_spheres > 0
+            else (jnp.full((n,), fast_shade.BIG), jnp.full((n,), -1, jnp.int32))
+        )
+        if scene.num_triangles > 0:
+            t_t, id_t = fast_shade.triangle_nearest_rows(
+                scene, rays, cfg.t_min, cfg.t_max, cfg.compat
+            )
+            tri_better = t_t < t_s
+            t_best = jnp.where(tri_better, t_t, t_s)
+            prim = jnp.where(tri_better, id_t + scene.num_spheres, id_s)
+            return t_best, jnp.where(t_best < fast_shade.BIG, prim, -1)
+        return t_s, id_s
+
+    def bounce(s, claiming: bool):
+        """One wavefront iteration; ``claiming`` toggles work regeneration
+        (phase 2 drains the pool without new claims)."""
+        n = s["rays"].shape[1]
+        if claiming:
+            idle = ~s["active"]
+            rank = jnp.cumsum(idle.astype(jnp.int32)) - 1
+            claim_id = s["next_work"] + rank
+            claim = idle & (claim_id < total_work)
+            n_claimed = jnp.sum(claim.astype(jnp.int32))
+            new_rays, _ = camera_rays(jnp.maximum(claim_id, 0))
+            rays = jnp.where(claim[None, :], new_rays, s["rays"])
+            tp = jnp.where(claim[None, :], 1.0, s["tp"])
+            work = jnp.where(claim, claim_id, s["work"])
+            depth = jnp.where(claim, 0, s["depth"])
+            active = s["active"] | claim
+            next_work = s["next_work"] + n_claimed
+        else:
+            rays, tp = s["rays"], s["tp"]
+            work, depth, active = s["work"], s["depth"], s["active"]
+            next_work = s["next_work"]
+
+        t_best, prim = intersect(rays, n)
+        out = fast_shade.shade_bounce(scene, rays, t_best, prim, seed, work, depth, cfg)
+
+        miss = active & ~out["hit"]
+        cont = active & out["hit"] & out["survive"] & (depth < cfg.max_depth)
+
+        # Per-channel 1-D deposits (scatter rows of a [W,3] target pay the
+        # padded minor-dim tax; three flat scatters don't).
+        skr, skg, skb = out["sky"]
+        deposit_idx = jnp.where(miss, work, total_work)
+        acc_r = s["acc_r"].at[deposit_idx].set(tp[0] * skr, mode="drop", unique_indices=True)
+        acc_g = s["acc_g"].at[deposit_idx].set(tp[1] * skg, mode="drop", unique_indices=True)
+        acc_b = s["acc_b"].at[deposit_idx].set(tp[2] * skb, mode="drop", unique_indices=True)
+
+        ar, ag, ab = out["att"]  # already RR-scaled by 1/p
+        tp = jnp.where(
+            cont[None, :], jnp.stack([tp[0] * ar, tp[1] * ag, tp[2] * ab], 0), tp
+        )
+        rays = jnp.where(cont[None, :], out["new_rays"], rays)
+
+        return dict(
+            acc_r=acc_r,
+            acc_g=acc_g,
+            acc_b=acc_b,
+            rays=rays,
+            tp=tp,
+            work=work,
+            depth=depth + 1,
+            active=cont,
+            n_active=jnp.sum(cont.astype(jnp.int32)),
+            next_work=next_work,
+        )
+
+    init = dict(
+        acc_r=jnp.zeros((total_work,), jnp.float32),
+        acc_g=jnp.zeros((total_work,), jnp.float32),
+        acc_b=jnp.zeros((total_work,), jnp.float32),
+        rays=jnp.concatenate(
+            [jnp.zeros((3, b), jnp.float32), jnp.ones((5, b), jnp.float32)], axis=0
+        ),
+        tp=jnp.zeros((3, b), jnp.float32),
+        work=jnp.zeros((b,), jnp.int32),
+        depth=jnp.zeros((b,), jnp.int32),
+        active=jnp.zeros((b,), bool),
+        n_active=jnp.int32(0),
+        next_work=jnp.int32(0),
+    )
+
+    tail = 4096
+    two_phase = b >= tail * 4
+
+    if two_phase:
+        # Phase 1: keep the pool full while work remains; once the queue is
+        # drained, keep bouncing only until the survivor count fits the
+        # tail pool (straggler paths — deep dielectric chains — would
+        # otherwise drag ~full-pool iterations at ~1% occupancy).
+        def cond1(s):
+            return (s["next_work"] < total_work) | (s["n_active"] > tail)
+
+        state = jax.lax.while_loop(cond1, lambda s: bounce(s, True), init)
+
+        # Compact survivors to the front (actives-first stable order).
+        order = jnp.argsort(~state["active"])[:tail]
+        small = dict(
+            acc_r=state["acc_r"],
+            acc_g=state["acc_g"],
+            acc_b=state["acc_b"],
+            rays=state["rays"][:, order],
+            tp=state["tp"][:, order],
+            work=state["work"][order],
+            depth=state["depth"][order],
+            active=state["active"][order],
+            n_active=state["n_active"],
+            next_work=state["next_work"],
+        )
+
+        def cond2(s):
+            return jnp.any(s["active"])
+
+        state = jax.lax.while_loop(cond2, lambda s: bounce(s, False), small)
+    else:
+        def cond(s):
+            return (s["next_work"] < total_work) | jnp.any(s["active"])
+
+        state = jax.lax.while_loop(cond, lambda s: bounce(s, True), init)
+
+    flat = jnp.stack([state["acc_r"], state["acc_g"], state["acc_b"]], axis=-1)
+    return jnp.sum(flat.reshape(spp, p, 3), axis=0) / jnp.float32(spp)
+
+
+# ---------------------------------------------------------------------------
+# Generic path: works for every scene; correctness reference.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "spp", "pool_size"))
+def _render_generic(
+    scene: SceneData,
+    camera: Camera,
+    pixel_idx: jnp.ndarray,
+    cfg: RenderConfig,
+    spp: int,
+    sample_offset: jnp.ndarray,
+    key: jax.Array,
+    pool_size: int = 1 << 17,
+) -> jnp.ndarray:
+    p = pixel_idx.shape[0]
+    total_work = p * spp
+    b = min(pool_size, max(total_work, 1))
+    width = camera.image_width
+    seed = _seed_from_key(key)
+
+    def camera_rays(work_ids):
+        slot = work_ids % p
+        sample = (work_ids // p).astype(jnp.int32) + sample_offset
+        pix = pixel_idx[jnp.clip(slot, 0, p - 1)]
+        px = pix % width
+        py = pix // width
+        off_u, off_v = _camera_jitter(camera, cfg, seed, pix, sample)
+        fx = px.astype(jnp.float32) + off_u
+        fy = py.astype(jnp.float32) + off_v
+        pixel_sample = (
+            camera.pixel00_loc[None, :]
+            + fx[:, None] * camera.pixel_du[None, :]
+            + fy[:, None] * camera.pixel_dv[None, :]
+        )
+        disk = rng.in_unit_disc(seed, work_ids, 0, 7)
+        defocus_origin = (
+            camera.center[None, :]
+            + disk[:, 0:1] * camera.defocus_disk_u[None, :]
+            + disk[:, 1:2] * camera.defocus_disk_v[None, :]
+        )
+        org = jnp.where(
+            camera.defocus_angle > 0.0, defocus_origin, camera.center[None, :]
+        )
+        return org, pixel_sample - org, slot
+
+    init = dict(
+        accum=jnp.zeros((total_work, 3), jnp.float32),
+        org=jnp.zeros((b, 3), jnp.float32),
+        dirn=jnp.ones((b, 3), jnp.float32),
+        throughput=jnp.zeros((b, 3), jnp.float32),
+        work=jnp.zeros((b,), jnp.int32),
+        depth=jnp.zeros((b,), jnp.int32),
+        active=jnp.zeros((b,), bool),
+        next_work=jnp.int32(0),
+    )
+
+    def cond(s):
+        return (s["next_work"] < total_work) | jnp.any(s["active"])
+
+    def body(s):
+        idle = ~s["active"]
+        rank = jnp.cumsum(idle.astype(jnp.int32)) - 1
+        claim_id = s["next_work"] + rank
+        claim = idle & (claim_id < total_work)
+        n_claimed = jnp.sum(claim.astype(jnp.int32))
+
+        new_org, new_dir, _ = camera_rays(jnp.maximum(claim_id, 0))
+        cm = claim[:, None]
+        org = jnp.where(cm, new_org, s["org"])
+        dirn = jnp.where(cm, new_dir, s["dirn"])
+        throughput = jnp.where(cm, 1.0, s["throughput"])
+        work = jnp.where(claim, claim_id, s["work"])
+        depth = jnp.where(claim, 0, s["depth"])
+        active = s["active"] | claim
+
+        rec = nearest_hit(
+            scene, org, dirn, cfg.t_min, cfg.t_max, cfg.compat, impl="pallas"
+        )
+
+        unit_dir = dirn / jnp.maximum(
+            jnp.linalg.norm(dirn, axis=-1, keepdims=True), 1e-20
+        )
+        sky_rgb = sky.sky_color_toward(scene.sky, unit_dir)
+        miss = active & ~rec.hit
+
+        attenuation, new_bounce_dir = materials.scatter_hashed(
+            scene, rec, dirn, seed, work, depth, cfg.compat
+        )
+        rr_p = jnp.clip(jnp.max(attenuation, axis=-1), 0.0, cfg.compat.rr_clamp)
+        survive = rng.uniform(seed, work, depth, 10) < rr_p
+        cont = active & rec.hit & survive & (depth < cfg.max_depth)
+
+        contribution = throughput * sky_rgb
+        deposit_idx = jnp.where(miss, work, total_work)
+        accum = s["accum"].at[deposit_idx].set(
+            contribution, mode="drop", unique_indices=True
+        )
+
+        throughput = jnp.where(
+            cont[:, None],
+            throughput * attenuation / jnp.maximum(rr_p, 1e-12)[:, None],
+            throughput,
+        )
+        point_scale = jnp.maximum(
+            jnp.max(jnp.abs(rec.point), axis=-1, keepdims=True), 1.0
+        )
+        side = jnp.sign(jnp.sum(new_bounce_dir * rec.normal, axis=-1, keepdims=True))
+        new_org2 = rec.point + cfg.origin_offset * point_scale * side * rec.normal
+
+        return dict(
+            accum=accum,
+            org=jnp.where(cont[:, None], new_org2, org),
+            dirn=jnp.where(cont[:, None], new_bounce_dir, dirn),
+            throughput=throughput,
+            work=work,
+            depth=depth + 1,
+            active=cont,
+            next_work=s["next_work"] + n_claimed,
+        )
+
+    state = jax.lax.while_loop(cond, body, init)
+    return jnp.sum(state["accum"].reshape(spp, p, 3), axis=0) / jnp.float32(spp)
