@@ -17,14 +17,15 @@ single while_loop, so the whole traversal jits and shards cleanly.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from rt_tpu.bvh.builder import LEAF_SIZE
 from rt_tpu.config import CompatConfig
 from rt_tpu.scene import SceneData
 
-BIG = jnp.float32(3.0e38)
-TRI_EPS = jnp.float32(1.0e-7)
+BIG = np.float32(3.0e38)
+TRI_EPS = np.float32(1.0e-7)
 
 
 def _sphere_t_single(org, dirn, center, radius, t_min, t_limit):

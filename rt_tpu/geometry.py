@@ -25,14 +25,15 @@ Divergences (documented):
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
 from rt_tpu.config import CompatConfig
 from rt_tpu.scene import SceneData
 
-BIG = jnp.float32(3.0e38)
-TRI_EPS = jnp.float32(1.0e-7)  # f32 analog of f64::EPSILON (hittable.rs:428,461)
+BIG = np.float32(3.0e38)  # numpy: module-level jnp would init a backend at import
+TRI_EPS = np.float32(1.0e-7)  # f32 analog of f64::EPSILON (hittable.rs:428,461)
 
 
 class HitRecord(struct.PyTreeNode):

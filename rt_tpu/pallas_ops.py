@@ -23,11 +23,12 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BIG = jnp.float32(3.0e38)
+BIG = np.float32(3.0e38)
 
 RAY_TILE = 256  # rays per grid program (lanes: 2 x 128)
 SPHERE_CHUNK = 128  # spheres per inner iteration (sublanes: 16 x 8)

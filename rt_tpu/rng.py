@@ -23,11 +23,12 @@ non-hot-path sampling.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
-_M1 = jnp.uint32(0x85EBCA6B)
-_M2 = jnp.uint32(0xC2B2AE35)
-_WEYL = jnp.uint32(0x9E3779B9)  # golden-ratio increment
+_M1 = np.uint32(0x85EBCA6B)
+_M2 = np.uint32(0xC2B2AE35)
+_WEYL = np.uint32(0x9E3779B9)  # golden-ratio increment
 
 
 def mix(x: jnp.ndarray) -> jnp.ndarray:

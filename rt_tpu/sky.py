@@ -26,6 +26,7 @@ Known divergences from the reference, both documented:
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
@@ -51,7 +52,7 @@ class SkyParams(struct.PyTreeNode):
 
 # Perez coefficient rows (A..E) as linear functions of turbidity T:
 # coeff = c1 * T + c0.  Published tables from Preetham et al. 1999, A.2.
-_PEREZ_Y = jnp.array(
+_PEREZ_Y = np.array(
     [  # (c1, c0) for A, B, C, D, E — luminance Y
         [0.1787, -1.4630],
         [-0.3554, 0.4275],
@@ -59,9 +60,9 @@ _PEREZ_Y = jnp.array(
         [0.1206, -2.5771],
         [-0.0670, 0.3703],
     ],
-    jnp.float32,
+    np.float32,
 )
-_PEREZ_X = jnp.array(
+_PEREZ_X = np.array(
     [  # chromaticity x
         [-0.0193, -0.2592],
         [-0.0665, 0.0008],
@@ -69,9 +70,9 @@ _PEREZ_X = jnp.array(
         [-0.0641, -0.8989],
         [-0.0033, 0.0452],
     ],
-    jnp.float32,
+    np.float32,
 )
-_PEREZ_YC = jnp.array(
+_PEREZ_YC = np.array(
     [  # chromaticity y
         [-0.0167, -0.2608],
         [-0.0950, 0.0092],
@@ -79,36 +80,36 @@ _PEREZ_YC = jnp.array(
         [-0.0441, -1.6537],
         [-0.0109, 0.0529],
     ],
-    jnp.float32,
+    np.float32,
 )
 
 # Zenith chromaticity matrices (Preetham et al. 1999, A.2): row vector
 # [T^2, T, 1] @ M @ [ts^3, ts^2, ts, 1]^T with ts = sun zenith angle.
-_ZENITH_X = jnp.array(
+_ZENITH_X = np.array(
     [
         [0.00166, -0.00375, 0.00209, 0.0],
         [-0.02903, 0.06377, -0.03202, 0.00394],
         [0.11693, -0.21196, 0.06052, 0.25886],
     ],
-    jnp.float32,
+    np.float32,
 )
-_ZENITH_Y = jnp.array(
+_ZENITH_Y = np.array(
     [
         [0.00275, -0.00610, 0.00317, 0.0],
         [-0.04214, 0.08970, -0.04153, 0.00516],
         [0.15346, -0.26756, 0.06670, 0.26688],
     ],
-    jnp.float32,
+    np.float32,
 )
 
 # Linear-sRGB conversion from CIE XYZ (D65).
-_XYZ_TO_SRGB = jnp.array(
+_XYZ_TO_SRGB = np.array(
     [
         [3.2404542, -1.5371385, -0.4985314],
         [-0.9692660, 1.8760108, 0.0415560],
         [0.0556434, -0.2040259, 1.0572252],
     ],
-    jnp.float32,
+    np.float32,
 )
 
 
