@@ -1,0 +1,124 @@
+"""Spatial clustering of primitives for the Pallas wavefront kernel.
+
+TPU SIMD cannot chase per-ray BVH pointers efficiently (each traversal
+step is an XLA gather, ~1 ms per 131k rays), so rt_tpu's acceleration
+structure for the fast path is a *fixed-stride two-level cluster grid*
+derived from the SAH BVH:
+
+- level 0: primitives, reordered into BVH-leaf order and padded so every
+  **cluster owns exactly 64 slots** (dummy slots can never hit);
+- level 1: clusters, padded so every **super owns exactly 64 clusters**
+  (dummy clusters have inverted AABBs).
+
+Fixed strides mean the kernel addresses are ``super*64 + cluster`` and
+``cluster*64 + slot`` — no indirection tables, no gathers.  The kernel
+loops supers -> (predicated) clusters -> (predicated) 64-prim chunks;
+``pl.when`` skips chunks no ray in the 256-ray tile wants, which is where
+the BVH-style work reduction comes from (exact for coherent primary
+tiles, partial for incoherent bounce tiles).
+
+Spheres and triangles get separate cluster sets (homogeneous chunk
+layouts).  The shade table (fast_shade.py) is emitted in *slot order* so
+kernel winner ids index it directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CLUSTER_SLOTS = 128  # prims per cluster (= BVH leaf budget = kernel lane width)
+SUPER_SLOTS = 64  # clusters per super
+
+
+def _leaf_clusters(mins: np.ndarray, maxs: np.ndarray, leaf_size: int):
+    """BVH-leaf clustering: returns (list of prim-id arrays) in DFS order."""
+    from rt_tpu.bvh import native
+    from rt_tpu.bvh.builder import _build_python
+
+    if native.available():
+        arrays = native.build(
+            np.ascontiguousarray(mins, np.float32),
+            np.ascontiguousarray(maxs, np.float32),
+            leaf_size,
+        )
+    else:
+        arrays = _build_python(mins, maxs, leaf_size)
+    _, _, _, _, leaf_start, leaf_count, prim_order = arrays
+    clusters = []
+    for start, count in zip(leaf_start, leaf_count):
+        if start >= 0 and count > 0:
+            clusters.append(prim_order[start : start + count])
+    return clusters
+
+
+def build_clusters(mins: np.ndarray, maxs: np.ndarray):
+    """Cluster primitives by AABB.
+
+    Returns (slot_of_prim i32[P] -> slot index, slots i32[M*64] -> prim id
+    or -1, cluster_aabb f32[M_pad, 8], super_aabb f32[S, 8]) where M_pad is
+    a SUPER_SLOTS multiple and dummy entries have inverted AABBs.
+    """
+    p = mins.shape[0]
+    if p == 0:
+        clusters = []
+    elif p <= CLUSTER_SLOTS:
+        clusters = [np.arange(p, dtype=np.int32)]
+    else:
+        clusters = _leaf_clusters(mins, maxs, CLUSTER_SLOTS)
+
+    m = max(len(clusters), 1)
+    m_pad = -(-m // SUPER_SLOTS) * SUPER_SLOTS
+    slots = np.full((m_pad * CLUSTER_SLOTS,), -1, np.int64)
+    # AABB tables are [8, M] (fields on sublanes, exact 8-sublane tile).
+    cluster_aabb = np.zeros((8, m_pad), np.float32)
+    cluster_aabb[0:3, :] = np.inf  # dummy: inverted AABB never hits
+    cluster_aabb[3:6, :] = -np.inf
+    for ci, ids in enumerate(clusters):
+        assert len(ids) <= CLUSTER_SLOTS
+        slots[ci * CLUSTER_SLOTS : ci * CLUSTER_SLOTS + len(ids)] = ids
+        cluster_aabb[0:3, ci] = mins[ids].min(axis=0)
+        cluster_aabb[3:6, ci] = maxs[ids].max(axis=0)
+
+    n_supers = m_pad // SUPER_SLOTS
+    super_aabb = np.zeros((8, max(n_supers, 1)), np.float32)
+    for si in range(n_supers):
+        block = cluster_aabb[:, si * SUPER_SLOTS : (si + 1) * SUPER_SLOTS]
+        live = block[0] <= block[3]
+        if live.any():
+            super_aabb[0:3, si] = block[0:3, live].min(axis=1)
+            super_aabb[3:6, si] = block[3:6, live].max(axis=1)
+        else:
+            super_aabb[0:3, si] = np.inf
+            super_aabb[3:6, si] = -np.inf
+
+    slot_of_prim = np.full((max(p, 1),), 0, np.int64)
+    live = slots >= 0
+    slot_of_prim[slots[live]] = np.nonzero(live)[0]
+    return slot_of_prim, slots, cluster_aabb, super_aabb
+
+
+def pack_sphere_slots(slots: np.ndarray, centers: np.ndarray, radius: np.ndarray) -> np.ndarray:
+    """Slot-ordered kernel sphere table f32[4, n_slots] (fields on
+    sublanes, slots on lanes — the VMEM-exact layout; a [n,4] table would
+    lane-pad 4 -> 128 and blow VMEM 32x); dummies r=0."""
+    n = slots.shape[0]
+    out = np.zeros((4, n), np.float32)
+    live = slots >= 0
+    out[0:3, live] = centers[slots[live]].T
+    out[3, live] = radius[slots[live]]
+    return out
+
+
+def pack_triangle_slots(slots: np.ndarray, a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Slot-ordered kernel triangle table f32[12, n_slots]
+    (rows: a, e1, e2, valid, pad, pad; same lane layout rationale as
+    pack_sphere_slots); dummies valid=0."""
+    n = slots.shape[0]
+    out = np.zeros((12, n), np.float32)
+    live = slots >= 0
+    ids = slots[live]
+    out[0:3, live] = a[ids].T
+    out[3:6, live] = (b[ids] - a[ids]).T
+    out[6:9, live] = (c[ids] - a[ids]).T
+    out[9, live] = 1.0
+    return out

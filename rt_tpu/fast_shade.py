@@ -144,17 +144,21 @@ def build_shade_table(
 # ---------------------------------------------------------------------------
 
 
-def fetch_params(scene: SceneData, prim: jnp.ndarray) -> jnp.ndarray:
+def fetch_params(table: jnp.ndarray, prim: jnp.ndarray) -> jnp.ndarray:
     """All shading params for each lane's winning primitive: f32[F, B].
 
-    One-hot MXU matmul: onehot[P, B] = (iota == prim), params = table @
-    onehot.  ~0.5 ms at B=131k, P=512 — versus ~20 ms of gathers.
+    Small tables: one-hot MXU matmul (onehot[P, B] = (iota == prim),
+    params = table @ onehot) — ~0.5 ms at B=131k, P=512, zero gathers.
+    Large tables: the [P, B] one-hot would dominate, so fall back to a
+    single row gather + transpose (~1-2 ms; still one op, not ~20).
     """
-    table = scene.shade_table  # [F, P_pad]
     p_pad = table.shape[1]
-    ids = jnp.arange(p_pad, dtype=jnp.int32)
-    onehot = (ids[:, None] == prim[None, :]).astype(jnp.float32)  # [P,B]
-    return jnp.dot(table, onehot, preferred_element_type=jnp.float32)
+    if p_pad <= 2048:
+        ids = jnp.arange(p_pad, dtype=jnp.int32)
+        onehot = (ids[:, None] == prim[None, :]).astype(jnp.float32)  # [P,B]
+        return jnp.dot(table, onehot, preferred_element_type=jnp.float32)
+    rows = table.T[prim]  # [B, F] gather
+    return rows.T
 
 
 def shade_bounce(
@@ -166,8 +170,12 @@ def shade_bounce(
     work: jnp.ndarray,
     depth: jnp.ndarray,
     cfg,
+    table: jnp.ndarray | None = None,
 ) -> dict:
     """One scalarized bounce after intersection.
+
+    ``prim`` indexes ``table`` (defaults to scene.shade_table; the cluster
+    path passes its slot-ordered table and slot ids).
 
     Returns dict with: new_rays f32[8,B], attenuation rgb rows f32[3,B],
     sky rgb rows f32[3,B], hit bool[B], survive bool[B].
@@ -175,6 +183,8 @@ def shade_bounce(
     in materials.py / textures.py / geometry.py.
     """
     compat: CompatConfig = cfg.compat
+    if table is None:
+        table = scene.shade_table
     ox, oy, oz = rays[0], rays[1], rays[2]
     dx, dy, dz = rays[3], rays[4], rays[5]
 
@@ -184,7 +194,7 @@ def shade_bounce(
     py = oy + ts * dy
     pz = oz + ts * dz
 
-    f = fetch_params(scene, jnp.where(hit, prim, 0))
+    f = fetch_params(table, jnp.where(hit, prim, 0))
     is_sphere = f[F_IS_SPHERE] > 0.5
 
     # --- Normal + front face (hittable.rs:340-346, 464). ---------------

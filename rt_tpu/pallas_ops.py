@@ -330,6 +330,235 @@ def sphere_nearest_packed(
     return t[0], idx[0]
 
 
+def _cluster_kernel(
+    rays_ref,
+    ss_ref,  # sphere super AABBs [8, Ss]
+    sc_ref,  # sphere cluster AABBs [8, Ms_pad]
+    sp_ref,  # sphere slots [4, Ms_pad*128]
+    ts_ref,  # triangle super AABBs [8, St]
+    tc_ref,  # triangle cluster AABBs [8, Mt_pad]
+    tp_ref,  # triangle slots [12, Mt_pad*128]
+    t_ref,
+    idx_ref,
+    bt_scr,  # scratch [R, 1] best t
+    bi_scr,  # scratch [R, 1] best slot id
+    *,
+    n_s_supers,
+    n_t_supers,
+    n_sph_slots,
+    t_min,
+    t_max,
+    backface_cull,
+):
+    """Two-level clustered nearest-hit kernel.
+
+    supers -> (pl.when) clusters -> (pl.when) fixed 128-slot prim chunks.
+    A chunk is skipped when no ray in this tile enters its AABB with entry
+    distance below its current best t — the SIMD-coherent form of BVH
+    pruning (hittable.rs:135-149's shrinking-range walk).
+
+    Orientation: rays live on SUBLANES ([R, 1] columns), primitives on
+    LANES ([1, 128] chunk rows), so chunk math is [R, 128] with zero
+    per-chunk transposes; prim/AABB tables keep their fields on sublanes,
+    the VMEM-exact layout.
+    """
+    big = 3.0e38
+    rays = rays_ref[:, :].T  # [R, 8] — one relayout per tile
+    ox, oy, oz = rays[:, 0:1], rays[:, 1:2], rays[:, 2:3]  # [R,1]
+    dx, dy, dz = rays[:, 3:4], rays[:, 4:5], rays[:, 5:6]
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+    tiny = 1.0e-20
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx) > tiny, dx, tiny)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy) > tiny, dy, tiny)
+    inv_dz = 1.0 / jnp.where(jnp.abs(dz) > tiny, dz, tiny)
+
+    bt_scr[:, :] = jnp.full(bt_scr.shape, big, jnp.float32)
+    bi_scr[:, :] = jnp.full(bi_scr.shape, -1, jnp.int32)
+
+    def any_enters(ref, ci):  # AABB tables live in SMEM: arbitrary
+        # dynamic scalar indexing (VMEM lane-dim dynamic slices must be
+        # 128-aligned, which cluster ids are not).
+        lx, ly, lz = ref[0, ci], ref[1, ci], ref[2, ci]
+        hx, hy, hz = ref[3, ci], ref[4, ci], ref[5, ci]
+        t0x = (lx - ox) * inv_dx
+        t1x = (hx - ox) * inv_dx
+        t0y = (ly - oy) * inv_dy
+        t1y = (hy - oy) * inv_dy
+        t0z = (lz - oz) * inv_dz
+        t1z = (hz - oz) * inv_dz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        m = (tn <= tf) & (tf >= 0.0) & (tn < bt_scr[:, :])
+        return jnp.any(m)
+
+    def update_best(t_cand, base_id):
+        cmin = jnp.min(t_cand, axis=1, keepdims=True)  # [R,1]
+        ids = jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 1) + base_id
+        sel = jnp.min(
+            jnp.where(t_cand == cmin, ids, jnp.int32(2**30)), axis=1, keepdims=True
+        )
+        better = cmin < bt_scr[:, :]
+        bt_scr[:, :] = jnp.where(better, cmin, bt_scr[:, :])
+        bi_scr[:, :] = jnp.where(better, sel, bi_scr[:, :])
+
+    # ---- spheres ----------------------------------------------------------
+    def s_cluster(ci, _):
+        @pl.when(any_enters(sc_ref, ci))
+        def _():
+            off = pl.multiple_of(ci * 128, 128)
+            sph = sp_ref[:, pl.ds(off, 128)]  # [4, 128]
+            cx, cy, cz, rad = sph[0:1, :], sph[1:2, :], sph[2:3, :], sph[3:4, :]
+            ocx = cx - ox  # [R, 128]
+            ocy = cy - oy
+            ocz = cz - oz
+            h = dx * ocx + dy * ocy + dz * ocz
+            c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+            disc = h * h - a * c
+            sd = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = (h - sd) * inv_a
+            t1 = (h + sd) * inv_a
+            t_cand = jnp.where(t0 >= t_min, t0, t1)
+            valid = (disc >= 0.0) & (rad > 0.0) & (t_cand >= t_min) & (t_cand < t_max)
+            update_best(jnp.where(valid, t_cand, big), ci * 128)
+        return 0
+
+    def s_super(si, _):
+        @pl.when(any_enters(ss_ref, si))
+        def _():
+            jax.lax.fori_loop(si * 64, si * 64 + 64, s_cluster, 0)
+        return 0
+
+    if n_s_supers > 0:
+        jax.lax.fori_loop(0, n_s_supers, s_super, 0)
+
+    # ---- triangles --------------------------------------------------------
+    def t_cluster(ci, _):
+        @pl.when(any_enters(tc_ref, ci))
+        def _():
+            off = pl.multiple_of(ci * 128, 128)
+            tri = tp_ref[:, pl.ds(off, 128)]  # [12, 128]
+            ax_, ay_, az_ = tri[0:1, :], tri[1:2, :], tri[2:3, :]
+            e1x, e1y, e1z = tri[3:4, :], tri[4:5, :], tri[5:6, :]
+            e2x, e2y, e2z = tri[6:7, :], tri[7:8, :], tri[8:9, :]
+            live = tri[9:10, :]
+            uvx = dy * e2z - dz * e2y  # [R, 128]
+            uvy = dz * e2x - dx * e2z
+            uvz = dx * e2y - dy * e2x
+            det = e1x * uvx + e1y * uvy + e1z * uvz
+            if backface_cull:
+                det_ok = det > 1e-7
+            else:
+                det_ok = jnp.abs(det) > 1e-7
+            inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+            aox = ox - ax_
+            aoy = oy - ay_
+            aoz = oz - az_
+            u = (aox * uvx + aoy * uvy + aoz * uvz) * inv_det
+            vvx = aoy * e1z - aoz * e1y
+            vvy = aoz * e1x - aox * e1z
+            vvz = aox * e1y - aoy * e1x
+            v = (dx * vvx + dy * vvy + dz * vvz) * inv_det
+            t = (e2x * vvx + e2y * vvy + e2z * vvz) * inv_det
+            ok = (
+                det_ok
+                & (live > 0.5)
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t >= t_min)
+                & (t < t_max)
+                & (t > 1e-7)
+            )
+            update_best(jnp.where(ok, t, big), ci * 128 + n_sph_slots)
+        return 0
+
+    def t_super(si, _):
+        @pl.when(any_enters(ts_ref, si))
+        def _():
+            jax.lax.fori_loop(si * 64, si * 64 + 64, t_cluster, 0)
+        return 0
+
+    if n_t_supers > 0:
+        jax.lax.fori_loop(0, n_t_supers, t_super, 0)
+
+    t_ref[0:1, :] = bt_scr[:, :].T
+    idx_ref[0:1, :] = bi_scr[:, :].T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sph_slots", "t_min", "t_max", "backface_cull", "interpret"),
+)
+def cluster_nearest(
+    rays: jnp.ndarray,  # f32[8, N]
+    sph_super: jnp.ndarray,  # f32[8, Ss]
+    sph_cluster: jnp.ndarray,  # f32[8, Ms_pad]
+    sph_slots: jnp.ndarray,  # f32[4, Ms_pad*128]
+    tri_super: jnp.ndarray,  # f32[8, St]
+    tri_cluster: jnp.ndarray,  # f32[8, Mt_pad]
+    tri_slots: jnp.ndarray,  # f32[12, Mt_pad*128]
+    n_sph_slots: int,
+    t_min: float,
+    t_max: float,
+    backface_cull: bool = True,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest hit via the two-level clustered kernel.
+
+    Returns (t f32[N], slot id i32[N]; sphere slots first, -1 = miss)."""
+    n = rays.shape[1]
+    assert n % RAY_TILE == 0
+
+    # Empty prim sets are encoded as one dummy super with an inverted AABB
+    # (build_clusters), which any_enters() rejects — no special-casing.
+    kernel = functools.partial(
+        _cluster_kernel,
+        n_s_supers=sph_super.shape[1],
+        n_t_supers=tri_super.shape[1],
+        n_sph_slots=int(n_sph_slots),
+        t_min=float(t_min),
+        t_max=float(t_max),
+        backface_cull=bool(backface_cull),
+    )
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    smem = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+    t, idx = pl.pallas_call(
+        kernel,
+        grid=(n // RAY_TILE,),
+        in_specs=[
+            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            smem(sph_super),
+            smem(sph_cluster),
+            full(sph_slots),
+            smem(tri_super),
+            smem(tri_cluster),
+            full(tri_slots),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((RAY_TILE, 1), jnp.float32),
+            pltpu.VMEM((RAY_TILE, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays, sph_super, sph_cluster, sph_slots, tri_super, tri_cluster, tri_slots)
+    return t[0], idx[0]
+
+
 def available() -> bool:
     """Pallas TPU kernels need a TPU backend (tests use interpret mode)."""
     return jax.default_backend() not in ("cpu",)

@@ -62,6 +62,22 @@ class BvhArrays(struct.PyTreeNode):
     prim_order: jnp.ndarray  # i32[NP] permutation of global prim ids
 
 
+class ClusterData(struct.PyTreeNode):
+    """Two-level clustered primitive tables for the Pallas wavefront kernel
+    (see rt_tpu/cluster.py): fixed-stride supers -> clusters -> 64-prim
+    slots, plus the shade table re-ordered so kernel slot ids index it
+    directly."""
+
+    sph_super: jnp.ndarray  # f32[8, Ss]
+    sph_cluster: jnp.ndarray  # f32[8, Ms_pad]
+    sph_slots: jnp.ndarray  # f32[4, Ms_pad*128]
+    tri_super: jnp.ndarray  # f32[8, St]
+    tri_cluster: jnp.ndarray  # f32[8, Mt_pad]
+    tri_slots: jnp.ndarray  # f32[12, Mt_pad*128]
+    shade_table: jnp.ndarray  # f32[F, slots_pad] slot-ordered
+    n_sph_slots: int = struct.field(pytree_node=False, default=0)
+
+
 class SceneData(struct.PyTreeNode):
     """Immutable device-resident scene (reference analog: World,
     hittable.rs:24-29)."""
@@ -110,6 +126,7 @@ class SceneData(struct.PyTreeNode):
     shade_table: jnp.ndarray | None = None  # f32[F, P_pad]
     sph_packed: jnp.ndarray | None = None  # f32[S_pad, 4] kernel layout
     tri_packed: jnp.ndarray | None = None  # f32[T_pad, 12] kernel layout
+    clusters: ClusterData | None = None
 
     # Static metadata.
     num_spheres: int = struct.field(pytree_node=False, default=0)
@@ -380,6 +397,20 @@ class SceneBuilder:
             num_triangles=len(self._triangles),
         )
 
+        # Clustered kernel tables for mid/large scenes (the TPU-friendly
+        # acceleration structure; small scenes brute-force faster than the
+        # AABB overhead, huge ones exceed the VMEM residency budget and
+        # fall back to the generic BVH path).
+        n_real = len(self._spheres) + len(self._triangles)
+        if shade_np is not None and (
+            len(self._triangles) > 128 or n_real > 2048
+        ):
+            cl = self._build_cluster_data(
+                shade_np, sph_center, sph_radius, tri_a, tri_b, tri_c
+            )
+            if cl is not None:
+                scene = scene.replace(clusters=cl)
+
         n_prims = scene.num_prims
         if use_bvh is None:
             # Brute force rides the MXU and beats pointer-ish traversal for
@@ -392,6 +423,63 @@ class SceneBuilder:
 
             scene = scene.replace(bvh=build_bvh(self._prim_bounds()))
         return scene
+
+    def _build_cluster_data(
+        self, shade_np, sph_center, sph_radius, tri_a, tri_b, tri_c
+    ) -> "ClusterData | None":
+        """Two-level cluster tables + slot-ordered shade table (host side).
+        Returns None when the tables exceed the kernel's VMEM budget."""
+        from rt_tpu.cluster import (
+            build_clusters,
+            pack_sphere_slots,
+            pack_triangle_slots,
+        )
+        from rt_tpu.fast_shade import F_ROWS
+
+        ns = len(self._spheres)
+        nt = len(self._triangles)
+        s_min = sph_center[:ns] - sph_radius[:ns, None]
+        s_max = sph_center[:ns] + sph_radius[:ns, None]
+        _, s_slots, s_cl, s_sup = build_clusters(s_min, s_max)
+        t_min_ = np.minimum(np.minimum(tri_a[:nt], tri_b[:nt]), tri_c[:nt])
+        t_max_ = np.maximum(np.maximum(tri_a[:nt], tri_b[:nt]), tri_c[:nt])
+        _, t_slots, t_cl, t_sup = build_clusters(t_min_, t_max_)
+
+        # VMEM estimate with sublane padding: sphere table [4,n] pads to 8
+        # sublanes (32 B/slot), triangle table [12,n] to 16 (64 B/slot).
+        vmem_bytes = (
+            s_slots.shape[0] * 32
+            + t_slots.shape[0] * 64
+            + (s_cl.shape[1] + t_cl.shape[1] + s_sup.shape[1] + t_sup.shape[1]) * 32
+        )
+        if vmem_bytes > 6 * 1024 * 1024:
+            return None
+
+        sph_slot_tab = pack_sphere_slots(s_slots, sph_center, sph_radius)
+        tri_slot_tab = pack_triangle_slots(t_slots, tri_a, tri_b, tri_c)
+
+        # Slot-ordered shade table: kernel winner ids index it directly.
+        n_sph_slots = s_slots.shape[0]
+        total = n_sph_slots + t_slots.shape[0]
+        total_pad = -(-total // 128) * 128
+        shade_slots = np.zeros((F_ROWS, total_pad), np.float32)
+        live_s = s_slots >= 0
+        shade_slots[:, np.nonzero(live_s)[0]] = shade_np[:, s_slots[live_s]]
+        live_t = t_slots >= 0
+        shade_slots[:, n_sph_slots + np.nonzero(live_t)[0]] = shade_np[
+            :, len(self._spheres) + t_slots[live_t]
+        ]
+
+        return ClusterData(
+            sph_super=jnp.asarray(s_sup),
+            sph_cluster=jnp.asarray(s_cl),
+            sph_slots=jnp.asarray(sph_slot_tab),
+            tri_super=jnp.asarray(t_sup),
+            tri_cluster=jnp.asarray(t_cl),
+            tri_slots=jnp.asarray(tri_slot_tab),
+            shade_table=jnp.asarray(shade_slots),
+            n_sph_slots=int(n_sph_slots),
+        )
 
     def _prim_bounds(self) -> tuple[np.ndarray, np.ndarray]:
         """Per-primitive AABBs in global prim-id order (spheres then

@@ -63,10 +63,9 @@ def render_wavefront(
     pool_size: int = 1 << 17,
 ) -> jnp.ndarray:
     """Mean radiance per pixel f32[P,3] over ``spp`` samples."""
-    fast_ok = (
-        scene.shade_table is not None
-        and scene.bvh is None
-        and scene.num_triangles <= MAX_FAST_TRIANGLES
+    fast_ok = scene.shade_table is not None and (
+        scene.clusters is not None
+        or (scene.num_triangles <= MAX_FAST_TRIANGLES and scene.num_prims <= 4096)
     )
     impl = _render_fast if fast_ok else _render_generic
     return impl(scene, camera, pixel_idx, cfg, spp, sample_offset, key, pool_size)
@@ -147,11 +146,32 @@ def _render_fast(
         rays = jnp.stack([ox, oy, oz, sx - ox, sy - oy, sz - oz, zeros, zeros], 0)
         return rays, slot
 
+    # Cluster path: winner ids are slot ids into the slot-ordered table.
+    use_cluster = use_pallas and scene.clusters is not None
+    shade_table = (
+        scene.clusters.shade_table if use_cluster else scene.shade_table
+    )
+
     def intersect(rays, n):
         if scene.num_spheres + scene.num_triangles == 0:
             return (
                 jnp.full((n,), fast_shade.BIG, jnp.float32),
                 jnp.full((n,), -1, jnp.int32),
+            )
+        if use_cluster:
+            cl = scene.clusters
+            return pallas_ops.cluster_nearest(
+                rays,
+                cl.sph_super,
+                cl.sph_cluster,
+                cl.sph_slots,
+                cl.tri_super,
+                cl.tri_cluster,
+                cl.tri_slots,
+                cl.n_sph_slots,
+                cfg.t_min,
+                cfg.t_max,
+                cfg.compat.triangle_backface_cull,
             )
         if use_pallas:
             return pallas_ops.prim_nearest_packed(
@@ -202,7 +222,9 @@ def _render_fast(
             next_work = s["next_work"]
 
         t_best, prim = intersect(rays, n)
-        out = fast_shade.shade_bounce(scene, rays, t_best, prim, seed, work, depth, cfg)
+        out = fast_shade.shade_bounce(
+            scene, rays, t_best, prim, seed, work, depth, cfg, table=shade_table
+        )
 
         miss = active & ~out["hit"]
         cont = active & out["hit"] & out["survive"] & (depth < cfg.max_depth)

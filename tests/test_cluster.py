@@ -1,0 +1,115 @@
+"""Clustered kernel structures and parity with the flat path."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rt_tpu.cluster import build_clusters, pack_sphere_slots, CLUSTER_SLOTS
+from rt_tpu.pallas_ops import cluster_nearest
+from rt_tpu.scene import SceneBuilder
+from rt_tpu import fast_shade
+from rt_tpu.config import CompatConfig
+
+
+def test_build_clusters_structure(rng):
+    n = 500
+    centers = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    half = rng.uniform(0.1, 0.5, (n, 1)).astype(np.float32)
+    slot_of, slots, cl_aabb, sup_aabb = build_clusters(centers - half, centers + half)
+    # Every prim in exactly one slot; slot_of inverts slots.
+    live = slots >= 0
+    assert sorted(slots[live].tolist()) == list(range(n))
+    for p in range(n):
+        assert slots[slot_of[p]] == p
+    # Fixed strides; AABB tables are [8, M].
+    assert slots.shape[0] % CLUSTER_SLOTS == 0
+    assert cl_aabb.shape[1] * CLUSTER_SLOTS == slots.shape[0]
+    assert cl_aabb.shape[1] % 64 == 0
+    # Cluster AABBs contain their prims.
+    m = cl_aabb.shape[1]
+    for ci in range(m):
+        ids = slots[ci * CLUSTER_SLOTS : (ci + 1) * CLUSTER_SLOTS]
+        ids = ids[ids >= 0]
+        if len(ids) == 0:
+            assert cl_aabb[0, ci] > cl_aabb[3, ci]  # inverted dummy
+            continue
+        assert (cl_aabb[0:3, ci] <= (centers - half)[ids].min(0) + 1e-5).all()
+        assert (cl_aabb[3:6, ci] >= (centers + half)[ids].max(0) - 1e-5).all()
+
+
+def test_build_clusters_empty():
+    slot_of, slots, cl_aabb, sup_aabb = build_clusters(
+        np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
+    )
+    assert (slots == -1).all()
+    assert (cl_aabb[0] > cl_aabb[3]).all()
+    assert (sup_aabb[0] > sup_aabb[3]).all()
+
+
+def _cluster_scene(rng, n_sph=300, n_tri=200):
+    b = SceneBuilder()
+    for i in range(n_sph):
+        m = b.lambertian_rgb(*rng.uniform(0.2, 0.9, 3))
+        b.add_sphere(rng.uniform(-8, 8, 3), rng.uniform(0.2, 0.8), m)
+    mt = b.metal_solid((0.8, 0.7, 0.6), 0.1)
+    for i in range(n_tri):
+        base = rng.uniform(-8, 8, 3)
+        b.add_triangle(base, base + rng.normal(size=3), base + rng.normal(size=3), mt)
+    return b.build(use_bvh=False)
+
+
+def test_cluster_kernel_matches_rows(rng):
+    scene = _cluster_scene(rng)
+    assert scene.clusters is not None
+    cl = scene.clusters
+
+    n = 256
+    rays = np.zeros((8, n), np.float32)
+    rays[0:3] = rng.uniform(-10, 10, (3, n))
+    rays[3:6] = rng.normal(size=(3, n))
+    rays_j = jnp.asarray(rays)
+
+    t_k, slot_k = cluster_nearest(
+        rays_j, cl.sph_super, cl.sph_cluster, cl.sph_slots,
+        cl.tri_super, cl.tri_cluster, cl.tri_slots,
+        cl.n_sph_slots, 1e-3, 1e9, True, interpret=True,
+    )
+    t_s, id_s = fast_shade.sphere_nearest_rows(scene, rays_j, 1e-3, 1e9)
+    t_t, id_t = fast_shade.triangle_nearest_rows(scene, rays_j, 1e-3, 1e9, CompatConfig())
+    t_ref = np.minimum(np.asarray(t_s), np.asarray(t_t))
+
+    t_k = np.asarray(t_k)
+    hit = t_ref < 1e30
+    assert np.array_equal(np.asarray(slot_k) >= 0, hit)
+    np.testing.assert_allclose(t_k[hit], t_ref[hit], rtol=2e-4, atol=2e-4)
+
+    # Slot ids map back to consistent shading params: the slot table's
+    # geometry must match the winning primitive's t.
+    slot_k = np.asarray(slot_k)
+    sph_tab = np.asarray(cl.sph_slots)
+    for lane in np.nonzero(hit)[0][:50]:
+        s = slot_k[lane]
+        if s < cl.n_sph_slots:
+            c, r = sph_tab[0:3, s], sph_tab[3, s]
+            assert r > 0
+            # the hit point lies on this sphere
+            p = rays[0:3, lane] + t_k[lane] * rays[3:6, lane]
+            assert abs(np.linalg.norm(p - c) - r) < 5e-3 * max(1, r)
+
+
+def test_cluster_scene_shade_table_slots(rng):
+    scene = _cluster_scene(rng, 80, 200)  # >128 tris triggers clustering
+    cl = scene.clusters
+    table = np.asarray(cl.shade_table)
+    sph_tab = np.asarray(cl.sph_slots)
+    # Sphere slot columns carry the sphere's own center/radius rows.
+    live = sph_tab[3] > 0
+    np.testing.assert_allclose(
+        table[fast_shade.F_AX : fast_shade.F_AZ + 1, : cl.n_sph_slots][:, live],
+        sph_tab[0:3, live],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        table[fast_shade.F_RADIUS, : cl.n_sph_slots][live], sph_tab[3, live], rtol=1e-6
+    )
+    assert (table[fast_shade.F_IS_SPHERE, : cl.n_sph_slots][live] == 1.0).all()
