@@ -354,7 +354,8 @@ def shade_bounce(
 
     is_lam = kind < 0.5
     is_metal = (kind > 0.5) & (kind < 1.5)
-    is_diel = kind > 1.5
+    is_diel = (kind > 1.5) & (kind < 2.5)
+    is_emissive = kind > 2.5  # extension (MAT_EMISSIVE): terminate + deposit
     new_dx = jnp.where(is_lam, lx, jnp.where(is_metal, mx, ddx))
     new_dy = jnp.where(is_lam, ly, jnp.where(is_metal, my, ddy))
     new_dz = jnp.where(is_lam, lz, jnp.where(is_metal, mz, ddz))
@@ -386,6 +387,8 @@ def shade_bounce(
         new_rays=new_rays,
         att=(att_r * inv_p, att_g * inv_p, att_b * inv_p),
         sky=(sky_r, sky_g, sky_b),
+        emit=(tr, tg, tb),  # emissive radiance (texture rows; HDR-capable)
+        emissive=is_emissive,
         hit=hit,
         survive=survive,
     )

@@ -53,6 +53,15 @@ def _bounce_step(scene: SceneData, cfg: RenderConfig, state, bounce_key, depth):
     miss = alive & ~rec.hit
     radiance = radiance + jnp.where(miss[:, None], throughput * sky_rgb, 0.0)
 
+    # Emissive hit -> deposit and terminate (extension; MAT_EMISSIVE).
+    mat_id = jnp.clip(rec.material, 0, scene.mat_kind.shape[0] - 1)
+    is_emissive = scene.mat_kind[mat_id] == 3
+    from rt_tpu.textures import texture_value
+
+    emit_rgb = texture_value(scene, scene.mat_texture[mat_id], rec.uv, rec.point)
+    emit_hit = alive & rec.hit & is_emissive
+    radiance = radiance + jnp.where(emit_hit[:, None], throughput * emit_rgb, 0.0)
+
     # Hit -> scatter + RR (camera.rs:298-304, 280-293).
     attenuation, new_dir = materials.scatter(scene, rec, dirn, bounce_key, cfg.compat)
     p = jnp.clip(jnp.max(attenuation, axis=-1), 0.0, cfg.compat.rr_clamp)
@@ -61,7 +70,7 @@ def _bounce_step(scene: SceneData, cfg: RenderConfig, state, bounce_key, depth):
     u = jax.random.uniform(jax.random.fold_in(bounce_key, 0x52), p.shape, jnp.float32)
     survive = u < p  # gen_bool(p) equivalent
     can_continue = depth < cfg.max_depth  # camera.rs:300
-    cont = alive & rec.hit & survive & can_continue
+    cont = alive & rec.hit & survive & can_continue & ~is_emissive
 
     throughput = jnp.where(
         cont[:, None], throughput * attenuation / jnp.maximum(p, 1e-12)[:, None], throughput

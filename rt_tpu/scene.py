@@ -37,6 +37,11 @@ from rt_tpu.sky import SkyParams
 MAT_LAMBERTIAN = 0
 MAT_METAL = 1
 MAT_DIELECTRIC = 2
+# Extension beyond the reference (its only light is the sky; emissives are
+# an acknowledged gap, reference TODO "maybe treating colors as
+# probabilities will come back to bite me when i implement emissives",
+# camera.rs:287): hits deposit throughput * emit and terminate.
+MAT_EMISSIVE = 3
 
 # Texture type tags (reference enum TextureEnum, texture.rs:14-18).
 TEX_SOLID = 0
@@ -224,6 +229,14 @@ class SceneBuilder:
         self._materials.append(
             _Material(MAT_DIELECTRIC, fuzz=float(fuzz or 0.0), ior=float(refractive_index))
         )
+        return len(self._materials) - 1
+
+    def emissive(self, rgb) -> int:
+        """Emissive area-light material (extension; see MAT_EMISSIVE).
+        ``rgb`` is HDR radiance — values above 1 are fine (the RR clamp
+        keeps the integrator safe, unlike the reference's gen_bool panic)."""
+        tex = self.solid_color(rgb)
+        self._materials.append(_Material(MAT_EMISSIVE, texture=tex))
         return len(self._materials) - 1
 
     # -- primitives --------------------------------------------------------

@@ -253,6 +253,73 @@ def _load_or_procedural(name: str, texture_dir: str | None) -> np.ndarray:
     return _procedural_texture(name)
 
 
+def mesh_scene(
+    obj_paths: dict[str, str],
+    seed: int = 0,
+) -> SceneData:
+    """OBJ showcase (reference analog: mesh_scene, scenes.rs:344-393 — five
+    classic meshes with plaster/metal/frosted-glass materials).
+
+    ``obj_paths`` maps a material style ('plaster' | 'glass' |
+    'frosted_glass' | 'metal' | 'mirror' | 'red_metal') to an OBJ path;
+    unknown styles get the dull-gray metal.  A checkered ground plane is
+    included (scenes.rs:353-356).
+    """
+    from rt_tpu.io.obj_loader import load_obj
+
+    b = SceneBuilder()
+    even = b.solid_color((0.1, 0.1, 0.1))
+    odd = b.solid_color((0.95, 0.95, 0.95))
+    checker_mat = b.lambertian(b.checker(0.75, even, odd))
+    add_ground_plane(b, 10000.0, 10000.0, -0.2, checker_mat, True)
+
+    styles = {
+        "plaster": lambda: b.lambertian_rgb(0.95, 0.70, 0.85),
+        "glass": lambda: b.dielectric(1.5),
+        "frosted_glass": lambda: b.dielectric(1.5, 0.05),
+        "metal": lambda: b.metal_solid((0.8, 0.8, 0.8), 0.4),
+        "mirror": lambda: b.metal_solid((0.95, 0.95, 0.95), None),
+        "red_metal": lambda: b.metal_solid((0.0, 0.5, 0.8), 0.3),
+    }
+    for style, path in obj_paths.items():
+        mat = styles.get(style, styles["metal"])()
+        for model in load_obj(path):
+            b.add_triangles(model["vertices"], model["uvs"], mat)
+    return b.build()
+
+
+def mesh_with_area_light(
+    obj_path: str,
+    light_radiance=(6.0, 6.0, 5.5),
+    mesh_style: str = "plaster",
+) -> SceneData:
+    """Mesh lit by an emissive quad panel (BASELINE config 3 shape: "OBJ
+    mesh via BVH traversal with emissive area light").  The emissive
+    material is an rt_tpu extension — the reference's only light is its
+    sky (SURVEY.md §2)."""
+    from rt_tpu.io.obj_loader import load_obj
+
+    b = SceneBuilder()
+    even = b.solid_color((0.1, 0.1, 0.1))
+    odd = b.solid_color((0.95, 0.95, 0.95))
+    checker_mat = b.lambertian(b.checker(0.75, even, odd))
+    add_ground_plane(b, 10000.0, 10000.0, -0.2, checker_mat, True)
+
+    mat = {
+        "plaster": lambda: b.lambertian_rgb(0.95, 0.70, 0.85),
+        "metal": lambda: b.metal_solid((0.8, 0.8, 0.8), 0.2),
+        "glass": lambda: b.dielectric(1.5),
+    }.get(mesh_style, lambda: b.lambertian_rgb(0.9, 0.9, 0.9))()
+    for model in load_obj(obj_path):
+        b.add_triangles(model["vertices"], model["uvs"], mat)
+
+    light = b.emissive(light_radiance)
+    # Overhead panel, normal facing down toward the scene.
+    b.add_triangle((-1.5, -1.5, 4.0), (1.5, -1.5, 4.0), (0.0, 1.5, 4.0), light)
+    b.add_triangle((0.0, 1.5, 4.0), (1.5, -1.5, 4.0), (-1.5, -1.5, 4.0), light)
+    return b.build()
+
+
 def bench_cover_config() -> tuple[SceneData, Camera, RenderConfig]:
     """BASELINE.json config 1: RTIOW cover scene, ~500 spheres,
     400x225 @ 10 spp."""

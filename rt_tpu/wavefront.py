@@ -227,15 +227,27 @@ def _render_fast(
         )
 
         miss = active & ~out["hit"]
-        cont = active & out["hit"] & out["survive"] & (depth < cfg.max_depth)
+        emis = active & out["hit"] & out["emissive"]
+        cont = (
+            active
+            & out["hit"]
+            & out["survive"]
+            & (depth < cfg.max_depth)
+            & ~out["emissive"]
+        )
 
         # Per-channel 1-D deposits (scatter rows of a [W,3] target pay the
-        # padded minor-dim tax; three flat scatters don't).
+        # padded minor-dim tax; three flat scatters don't).  A path deposits
+        # at most once: at its sky miss, or at an emissive hit (extension).
         skr, skg, skb = out["sky"]
-        deposit_idx = jnp.where(miss, work, total_work)
-        acc_r = s["acc_r"].at[deposit_idx].set(tp[0] * skr, mode="drop", unique_indices=True)
-        acc_g = s["acc_g"].at[deposit_idx].set(tp[1] * skg, mode="drop", unique_indices=True)
-        acc_b = s["acc_b"].at[deposit_idx].set(tp[2] * skb, mode="drop", unique_indices=True)
+        emr, emg, emb = out["emit"]
+        dep_r = jnp.where(miss, skr, emr)
+        dep_g = jnp.where(miss, skg, emg)
+        dep_b = jnp.where(miss, skb, emb)
+        deposit_idx = jnp.where(miss | emis, work, total_work)
+        acc_r = s["acc_r"].at[deposit_idx].set(tp[0] * dep_r, mode="drop", unique_indices=True)
+        acc_g = s["acc_g"].at[deposit_idx].set(tp[1] * dep_g, mode="drop", unique_indices=True)
+        acc_b = s["acc_b"].at[deposit_idx].set(tp[2] * dep_b, mode="drop", unique_indices=True)
 
         ar, ag, ab = out["att"]  # already RR-scaled by 1/p
         tp = jnp.where(
@@ -400,15 +412,23 @@ def _render_generic(
         sky_rgb = sky.sky_color_toward(scene.sky, unit_dir)
         miss = active & ~rec.hit
 
+        # Emissive hits terminate with a deposit (extension; MAT_EMISSIVE).
+        from rt_tpu.textures import texture_value
+
+        mat_id = jnp.clip(rec.material, 0, scene.mat_kind.shape[0] - 1)
+        is_emissive = scene.mat_kind[mat_id] == 3
+        emis = active & rec.hit & is_emissive
+        emit_rgb = texture_value(scene, scene.mat_texture[mat_id], rec.uv, rec.point)
+
         attenuation, new_bounce_dir = materials.scatter_hashed(
             scene, rec, dirn, seed, work, depth, cfg.compat
         )
         rr_p = jnp.clip(jnp.max(attenuation, axis=-1), 0.0, cfg.compat.rr_clamp)
         survive = rng.uniform(seed, work, depth, 10) < rr_p
-        cont = active & rec.hit & survive & (depth < cfg.max_depth)
+        cont = active & rec.hit & survive & (depth < cfg.max_depth) & ~is_emissive
 
-        contribution = throughput * sky_rgb
-        deposit_idx = jnp.where(miss, work, total_work)
+        contribution = throughput * jnp.where(miss[:, None], sky_rgb, emit_rgb)
+        deposit_idx = jnp.where(miss | emis, work, total_work)
         accum = s["accum"].at[deposit_idx].set(
             contribution, mode="drop", unique_indices=True
         )
