@@ -478,7 +478,11 @@ def _sky_rows(scene: SceneData, dx, dy, dz):
     sun = params.sun_direction / jnp.linalg.norm(params.sun_direction)
     cos_theta = jnp.clip(dz, 0.01, 1.0)
     cos_gamma = jnp.clip(dx * sun[0] + dy * sun[1] + dz * sun[2], -1.0, 1.0)
-    gamma = jnp.arccos(jnp.clip(cos_gamma, -1.0 + 1e-6, 1.0 - 1e-6))
+    if params.cos_gamma_as_angle:  # hittable.rs:86 quirk (see sky.py)
+        gamma = cos_gamma
+        cos_gamma = jnp.cos(gamma)
+    else:
+        gamma = jnp.arccos(jnp.clip(cos_gamma, -1.0 + 1e-6, 1.0 - 1e-6))
     theta_s = jnp.arccos(jnp.clip(sun[2], 0.0, 1.0 - 1e-6))
     cos_theta_s = jnp.cos(theta_s)
 

@@ -40,12 +40,21 @@ class SkyParams(struct.PyTreeNode):
     sun_direction: jnp.ndarray  # (3,) unit vector; reference default +z
     turbidity: jnp.ndarray  # () in [2, 10]
     exposure: jnp.ndarray  # () scales luminance into tonemap range
+    # Reference quirk (hittable.rs:86): the dot product cos(gamma), clamped
+    # to [-1, 1], is passed where the sky model expects the *angle* gamma,
+    # so every direction evaluates within ~1 rad of "toward the sun".
+    # Default False: under Perez coefficients the quirk warms the horizon,
+    # drifting *away* from the reference renders' pale-blue tint (the
+    # quirk's visual effect is entangled with Hosek-Wilkie's circumsolar
+    # color, which Perez does not share).  (turbidity 2.0, exposure 0.25)
+    # was fit to the top sky rows of the reference's final_render.png.
+    cos_gamma_as_angle: bool = struct.field(pytree_node=False, default=False)
 
     @staticmethod
     def default() -> "SkyParams":
         return SkyParams(
             sun_direction=jnp.array([0.0, 0.0, 1.0], jnp.float32),
-            turbidity=jnp.asarray(2.5, jnp.float32),
+            turbidity=jnp.asarray(2.0, jnp.float32),
             exposure=jnp.asarray(0.25, jnp.float32),
         )
 
@@ -157,7 +166,12 @@ def sky_radiance_xyy(params: SkyParams, direction: jnp.ndarray):
     sun = params.sun_direction / jnp.linalg.norm(params.sun_direction)
     cos_theta = jnp.clip(direction[..., 2], 0.01, 1.0)
     cos_gamma = jnp.clip(jnp.sum(direction * sun, axis=-1), -1.0, 1.0)
-    gamma = _safe_arccos(cos_gamma)
+    if params.cos_gamma_as_angle:
+        # hittable.rs:86 quirk: cos(gamma) used AS the angle.
+        gamma = cos_gamma
+        cos_gamma = jnp.cos(gamma)
+    else:
+        gamma = _safe_arccos(cos_gamma)
     theta_s = _safe_arccos(jnp.clip(sun[2], 0.0, 1.0))
     cos_theta_s = jnp.cos(theta_s)
 

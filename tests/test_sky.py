@@ -21,14 +21,16 @@ def test_sky_radiance_positive_and_finite():
 
 
 def test_sky_brighter_toward_sun():
-    """Circumsolar brightening: radiance increases as gamma -> 0."""
-    params = sky.SkyParams.default()
-    sun = np.array([0.0, 0.0, 1.0])
-    near = jnp.asarray([[0.05, 0.0, 0.999]] / np.linalg.norm([0.05, 0.0, 0.999]))
-    far = jnp.asarray([[0.999, 0.0, 0.05]] / np.linalg.norm([0.999, 0.0, 0.05]))
+    """Circumsolar brightening: at equal elevation, the direction toward
+    the sun's azimuth outshines the opposite azimuth (same Perez theta
+    term, smaller gamma)."""
+    sun = np.array([1.0, 0.0, 1.0]) / np.sqrt(2.0)
+    params = sky.SkyParams.default().replace(sun_direction=jnp.asarray(sun, jnp.float32))
+    near = jnp.asarray([sun], jnp.float32)  # gamma = 0
+    away = jnp.asarray([[-1.0, 0.0, 1.0]], jnp.float32) / np.sqrt(2.0)  # gamma = 90 deg
     y_near, _, _ = sky.sky_radiance_xyy(params, near)
-    y_far, _, _ = sky.sky_radiance_xyy(params, far)
-    assert float(y_near[0]) > float(y_far[0])
+    y_away, _, _ = sky.sky_radiance_xyy(params, away)
+    assert float(y_near[0]) > float(y_away[0])
 
 
 def test_sky_horizon_bluer_zenith_darker_than_horizon_luminance():
