@@ -95,47 +95,55 @@ def build_shade_table(
         return None
     p_pad = -(-p // 128) * 128
     table = np.zeros((F_ROWS, p_pad), np.float32)
+    ns, nt = num_spheres, num_triangles
 
-    def mat_fields(prim_col: int, mid: int) -> bool:
-        table[F_MAT_KIND, prim_col] = mat_kind[mid]
-        table[F_FUZZ, prim_col] = mat_fuzz[mid]
-        table[F_IOR, prim_col] = mat_ior[mid]
-        if mat_kind[mid] == MAT_DIELECTRIC:
-            table[F_TEX_KIND, prim_col] = TEX_SOLID
-            table[F_CE : F_CE + 3, prim_col] = 1.0
-            return True
-        tid = mat_tex[mid]
-        kind = tex_kind[tid]
-        table[F_TEX_KIND, prim_col] = kind
-        if kind == TEX_SOLID:
-            table[F_CE : F_CE + 3, prim_col] = tex_color[tid]
-        elif kind == TEX_CHECKER:
-            even, odd = tex_children[tid]
-            if tex_kind[even] != TEX_SOLID or tex_kind[odd] != TEX_SOLID:
-                return False  # not expressible
-            table[F_INV_SCALE, prim_col] = tex_inv_scale[tid]
-            table[F_CE : F_CE + 3, prim_col] = tex_color[even]
-            table[F_CO : F_CO + 3, prim_col] = tex_color[odd]
-        else:  # image
-            table[F_RECT : F_RECT + 4, prim_col] = tex_rect[tid]
-        return True
+    # Vectorized material/texture columns (a per-prim Python loop costs
+    # minutes at cover-large scale).
+    mids = np.concatenate([np.asarray(sph_mat[:ns]), np.asarray(tri_mat[:nt])]).astype(np.int64)
+    kinds = np.asarray(mat_kind)[mids]
+    tids = np.asarray(mat_tex)[mids]
+    tkind = np.asarray(tex_kind)[tids]
+    is_diel = kinds == MAT_DIELECTRIC
 
-    for i in range(num_spheres):
-        table[F_IS_SPHERE, i] = 1.0
-        table[F_AX : F_AZ + 1, i] = sph_center[i]
-        table[F_RADIUS, i] = sph_radius[i]
-        table[F_NX : F_NZ + 1, i] = sph_front[i]
-        if not mat_fields(i, sph_mat[i]):
-            return None
-    for j in range(num_triangles):
-        col = num_spheres + j
-        table[F_AX : F_AZ + 1, col] = tri_a[j]
-        table[F_BX : F_BZ + 1, col] = tri_b[j]
-        table[F_CX : F_CZ + 1, col] = tri_c[j]
-        table[F_NX : F_NZ + 1, col] = tri_normal[j]
-        table[F_UVA : F_UVA + 6, col] = tri_uv[j].reshape(6)
-        if not mat_fields(col, tri_mat[j]):
-            return None
+    checker = (tkind == TEX_CHECKER) & ~is_diel
+    even = np.asarray(tex_children)[tids, 0]
+    odd = np.asarray(tex_children)[tids, 1]
+    bad = checker & (
+        (np.asarray(tex_kind)[even] != TEX_SOLID)
+        | (np.asarray(tex_kind)[odd] != TEX_SOLID)
+    )
+    if bad.any():
+        return None  # checker with non-solid children: not expressible
+
+    cols = slice(0, p)
+    table[F_MAT_KIND, cols] = kinds
+    table[F_FUZZ, cols] = np.asarray(mat_fuzz)[mids]
+    table[F_IOR, cols] = np.asarray(mat_ior)[mids]
+    table[F_TEX_KIND, cols] = np.where(is_diel, TEX_SOLID, tkind)
+    table[F_INV_SCALE, cols] = np.where(checker, np.asarray(tex_inv_scale)[tids], 0.0)
+    solid_rgb = np.asarray(tex_color)[tids]  # own color (solid) ...
+    even_rgb = np.where(checker[:, None], np.asarray(tex_color)[even], solid_rgb)
+    even_rgb = np.where(is_diel[:, None], 1.0, even_rgb)
+    table[F_CE : F_CE + 3, cols] = even_rgb.T
+    table[F_CO : F_CO + 3, cols] = np.where(
+        checker[:, None], np.asarray(tex_color)[odd], 0.0
+    ).T
+    is_image = (tkind == TEX_IMAGE) & ~is_diel
+    table[F_RECT : F_RECT + 4, cols] = np.where(
+        is_image[:, None], np.asarray(tex_rect)[tids], 0
+    ).T.astype(np.float32)
+
+    # Geometry columns.
+    table[F_IS_SPHERE, :ns] = 1.0
+    table[F_AX : F_AZ + 1, :ns] = np.asarray(sph_center[:ns]).T
+    table[F_RADIUS, :ns] = np.asarray(sph_radius[:ns])
+    table[F_NX : F_NZ + 1, :ns] = np.asarray(sph_front[:ns]).T
+    tc = slice(ns, ns + nt)
+    table[F_AX : F_AZ + 1, tc] = np.asarray(tri_a[:nt]).T
+    table[F_BX : F_BZ + 1, tc] = np.asarray(tri_b[:nt]).T
+    table[F_CX : F_CZ + 1, tc] = np.asarray(tri_c[:nt]).T
+    table[F_NX : F_NZ + 1, tc] = np.asarray(tri_normal[:nt]).T
+    table[F_UVA : F_UVA + 6, tc] = np.asarray(tri_uv[:nt]).reshape(nt, 6).T
     return table
 
 

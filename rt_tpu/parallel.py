@@ -38,6 +38,23 @@ from rt_tpu.integrator import trace_radiance, trace_radiance_diff
 from rt_tpu.scene import SceneData
 
 
+def initialize_multihost(coordinator_address: str | None = None) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` (SURVEY.md §5.8).
+
+    On Cloud TPU pod slices the arguments auto-detect; elsewhere pass the
+    coordinator address.  After this, ``jax.devices()`` spans the slice and
+    every mesh built by :func:`make_mesh` is global — the render/train
+    entry points need no changes (jax.jit handles global-array plumbing).
+    Call once per process, before any other JAX usage.
+    """
+    import jax
+
+    if coordinator_address is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+
+
 def make_mesh(n_devices: int | None = None, tiles: int | None = None) -> Mesh:
     """('tiles', 'spp') mesh.  With no arguments, uses every device on the
     tiles axis (the common render layout)."""

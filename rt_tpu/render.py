@@ -90,10 +90,26 @@ def render_pixel_colors(
         from rt_tpu.wavefront import render_wavefront
 
         pixel_idx = jnp.arange(n_pixels, dtype=jnp.int32)
-        flat = render_wavefront(
-            scene, camera, pixel_idx, cfg, spp, jnp.int32(sample_offset), key
-        )
-        return flat.reshape(h, w, 3)
+        # Chunk high sample counts: the wavefront's per-work deposit buffer
+        # scales with pixels * spp, and scatter locality degrades past a
+        # few hundred MB.  RNG streams key on the global (offset-folded)
+        # work id, so chunking changes nothing statistically.
+        spp_chunk = max(1, min(spp, (16 << 20) // max(n_pixels, 1)))
+        if spp_chunk >= spp:
+            flat = render_wavefront(
+                scene, camera, pixel_idx, cfg, spp, jnp.int32(sample_offset), key
+            )
+            return flat.reshape(h, w, 3)
+        accum = jnp.zeros((n_pixels, 3), jnp.float32)
+        done = 0
+        while done < spp:
+            ns = min(spp_chunk, spp - done)
+            part = render_wavefront(
+                scene, camera, pixel_idx, cfg, ns, jnp.int32(sample_offset + done), key
+            )
+            accum = accum + part * ns
+            done += ns
+        return (accum / spp).reshape(h, w, 3)
 
     pixels_per_chunk = max(cfg.max_rays_per_batch // max(spp, 1), 1)
     chunks = []

@@ -122,6 +122,11 @@ def _render_fast(
     def camera_rays(work_ids):
         slot = work_ids % p
         sample = (work_ids // p).astype(jnp.int32) + sample_offset
+        # RNG streams key on the *global* work id (sample_offset folded
+        # in), so spp-chunked and progressive renders draw independent
+        # randomness instead of replaying chunk-local streams.  int32
+        # wrap-around is fine for hashing.
+        gwork = work_ids + sample_offset * p
         pix = pixel_idx[jnp.clip(slot, 0, p - 1)]
         px = (pix % width).astype(jnp.float32)
         py = (pix // width).astype(jnp.float32)
@@ -134,8 +139,8 @@ def _render_fast(
         # Defocus disk sample (camera.rs:366-371), polar transform; draw
         # indices match rng.in_unit_disc(purpose=7) so both wavefront
         # implementations consume identical streams (c = 3*7 and 3*7+1).
-        r = jnp.sqrt(rng.uniform(seed, work_ids, 0, 21))
-        th = rng.uniform(seed, work_ids, 0, 22) * (2.0 * jnp.pi)
+        r = jnp.sqrt(rng.uniform(seed, gwork, 0, 21))
+        th = rng.uniform(seed, gwork, 0, 22) * (2.0 * jnp.pi)
         dskx = r * jnp.cos(th)
         dsky = r * jnp.sin(th)
         use_dk = camera.defocus_angle > 0.0
@@ -223,7 +228,8 @@ def _render_fast(
 
         t_best, prim = intersect(rays, n)
         out = fast_shade.shade_bounce(
-            scene, rays, t_best, prim, seed, work, depth, cfg, table=shade_table
+            scene, rays, t_best, prim, seed, work + sample_offset * p, depth,
+            cfg, table=shade_table,
         )
 
         miss = active & ~out["hit"]
@@ -361,7 +367,7 @@ def _render_generic(
             + fx[:, None] * camera.pixel_du[None, :]
             + fy[:, None] * camera.pixel_dv[None, :]
         )
-        disk = rng.in_unit_disc(seed, work_ids, 0, 7)
+        disk = rng.in_unit_disc(seed, work_ids + sample_offset * p, 0, 7)
         defocus_origin = (
             camera.center[None, :]
             + disk[:, 0:1] * camera.defocus_disk_u[None, :]
@@ -420,11 +426,12 @@ def _render_generic(
         emis = active & rec.hit & is_emissive
         emit_rgb = texture_value(scene, scene.mat_texture[mat_id], rec.uv, rec.point)
 
+        gwork = work + sample_offset * p
         attenuation, new_bounce_dir = materials.scatter_hashed(
-            scene, rec, dirn, seed, work, depth, cfg.compat
+            scene, rec, dirn, seed, gwork, depth, cfg.compat
         )
         rr_p = jnp.clip(jnp.max(attenuation, axis=-1), 0.0, cfg.compat.rr_clamp)
-        survive = rng.uniform(seed, work, depth, 10) < rr_p
+        survive = rng.uniform(seed, gwork, depth, 10) < rr_p
         cont = active & rec.hit & survive & (depth < cfg.max_depth) & ~is_emissive
 
         contribution = throughput * jnp.where(miss[:, None], sky_rgb, emit_rgb)
