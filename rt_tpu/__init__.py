@@ -19,9 +19,10 @@ batched, SoA, wavefront design:
   accumulators — no NCCL/MPI analog, just XLA collectives.
 """
 
-from rt_tpu.config import RenderConfig, CompatConfig
+from rt_tpu.config import RenderConfig, CompatConfig, ProgressiveSchedule
 from rt_tpu.camera import Camera, make_camera
 from rt_tpu.scene import SceneData, SceneBuilder
+from rt_tpu.sky import SkyParams
 from rt_tpu.render import render_image, render_pixel_colors
 
 __version__ = "0.1.0"
@@ -29,10 +30,12 @@ __version__ = "0.1.0"
 __all__ = [
     "RenderConfig",
     "CompatConfig",
+    "ProgressiveSchedule",
     "Camera",
     "make_camera",
     "SceneData",
     "SceneBuilder",
+    "SkyParams",
     "render_image",
     "render_pixel_colors",
 ]

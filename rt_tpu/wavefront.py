@@ -60,7 +60,7 @@ def render_wavefront(
     spp: int,
     sample_offset: jnp.ndarray,
     key: jax.Array,
-    pool_size: int = 1 << 17,
+    pool_size: int = 1 << 16,
 ) -> jnp.ndarray:
     """Mean radiance per pixel f32[P,3] over ``spp`` samples."""
     fast_ok = scene.shade_table is not None and (
@@ -69,6 +69,24 @@ def render_wavefront(
     )
     impl = _render_fast if fast_ok else _render_generic
     return impl(scene, camera, pixel_idx, cfg, spp, sample_offset, key, pool_size)
+
+
+def _rank_of_idle(idle: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix count of idle lanes: cumsum(idle) - 1.
+
+    A flat 1-D cumsum at pool size measures ~1 ms on v5e; the reshaped
+    two-stage form (lane-dim scans of [rows, 128] + a short row scan) is
+    ~20x cheaper and exact.
+    """
+    b = idle.shape[0]
+    if b % 128 != 0:
+        return jnp.cumsum(idle.astype(jnp.int32)) - 1
+    rows = idle.astype(jnp.int32).reshape(b // 128, 128)
+    within = jnp.cumsum(rows, axis=1)
+    row_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(within[:, -1])[:-1]]
+    )
+    return (within + row_offsets[:, None]).reshape(-1) - 1
 
 
 def _seed_from_key(key: jax.Array) -> jnp.ndarray:
@@ -100,7 +118,7 @@ def _render_fast(
     spp: int,
     sample_offset: jnp.ndarray,
     key: jax.Array,
-    pool_size: int = 1 << 17,
+    pool_size: int = 1 << 16,
 ) -> jnp.ndarray:
     from rt_tpu import pallas_ops
 
@@ -210,7 +228,7 @@ def _render_fast(
         n = s["rays"].shape[1]
         if claiming:
             idle = ~s["active"]
-            rank = jnp.cumsum(idle.astype(jnp.int32)) - 1
+            rank = _rank_of_idle(idle)
             claim_id = s["next_work"] + rank
             claim = idle & (claim_id < total_work)
             n_claimed = jnp.sum(claim.astype(jnp.int32))
@@ -345,7 +363,7 @@ def _render_generic(
     spp: int,
     sample_offset: jnp.ndarray,
     key: jax.Array,
-    pool_size: int = 1 << 17,
+    pool_size: int = 1 << 16,
 ) -> jnp.ndarray:
     p = pixel_idx.shape[0]
     total_work = p * spp
@@ -394,7 +412,7 @@ def _render_generic(
 
     def body(s):
         idle = ~s["active"]
-        rank = jnp.cumsum(idle.astype(jnp.int32)) - 1
+        rank = _rank_of_idle(idle)
         claim_id = s["next_work"] + rank
         claim = idle & (claim_id < total_work)
         n_claimed = jnp.sum(claim.astype(jnp.int32))
