@@ -32,8 +32,6 @@ from rt_tpu import rng
 from rt_tpu.config import CompatConfig
 from rt_tpu.scene import (
     MAT_DIELECTRIC,
-    MAT_LAMBERTIAN,
-    MAT_METAL,
     TEX_CHECKER,
     TEX_IMAGE,
     TEX_SOLID,

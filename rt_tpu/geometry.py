@@ -85,6 +85,28 @@ def sphere_candidate_t(org, dirn, center, radius, t_min, t_max):
     return jnp.where(in0, t0, jnp.where(in1, t1, BIG))
 
 
+def unit_sphere_uv(point, pitch_rads, yaw_rads, rotation_rads):
+    """UV of a unit-sphere ``point`` with the texture pitched, yawed, and
+    rotated (hittable.rs:367-388; the reference's public sphere-UV entry):
+    rotation = Ry(pitch) @ Rz(-yaw); phi gains ``rotation_rads`` mod 2pi.
+
+    ``point`` f32[...,3]; angles broadcastable scalars/arrays (radians).
+    """
+    px, py, pz = point[..., 0], point[..., 1], point[..., 2]
+    cy, sy = jnp.cos(yaw_rads), jnp.sin(yaw_rads)
+    qx = cy * px + sy * py
+    qy = -sy * px + cy * py
+    cp, sp = jnp.cos(pitch_rads), jnp.sin(pitch_rads)
+    rx = cp * qx + sp * pz
+    ry = qy
+    rz = -sp * qx + cp * pz
+    at_pole = rx * rx + ry * ry < 1.0e-12
+    rx = jnp.where(at_pole, 1.0, rx)
+    theta = jnp.arccos(jnp.clip(-rz, -1.0 + 1.0e-7, 1.0 - 1.0e-7))
+    phi = jnp.mod(jnp.arctan2(ry, rx) + jnp.pi + rotation_rads, 2.0 * jnp.pi)
+    return jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)
+
+
 def sphere_uv_facing(p, face_dir):
     """UV of unit-sphere point ``p`` with the texture pitched/yawed toward
     ``face_dir`` (hittable.rs:367-406): rotation = Ry(pitch) @ Rz(-yaw),

@@ -139,3 +139,28 @@ def test_nearest_hit_miss():
     rec = geometry.nearest_hit(scene, org, dirn, 1e-3, 1e9)
     assert not bool(rec.hit[0])
     assert int(rec.prim[0]) == -1
+
+
+def test_unit_sphere_uv_with_rotation(rng):
+    """Public unit_sphere_uv incl. the rotation_rads texture spin
+    (hittable.rs:370-388): rotating by pi shifts u by 0.5 mod 1."""
+    import jax.numpy as jnp
+
+    for _ in range(16):
+        p = rng.normal(size=3)
+        p = (p / np.linalg.norm(p)).astype(np.float32)
+        pitch, yaw = rng.uniform(-1.5, 1.5), rng.uniform(-3, 3)
+        base = np.asarray(
+            geometry.unit_sphere_uv(jnp.asarray(p[None]), pitch, yaw, 0.0)
+        )[0]
+        spun = np.asarray(
+            geometry.unit_sphere_uv(jnp.asarray(p[None]), pitch, yaw, np.pi)
+        )[0]
+        du = abs((spun[0] - base[0]) % 1.0 - 0.5)
+        assert du < 1e-3 or du > 0.5 - 1e-3
+        assert spun[1] == pytest.approx(base[1], abs=1e-5)  # v unchanged
+        # Zero-rotation path agrees with the facing-based oracle pipeline:
+        want = oracles.unit_sphere_uv_facing(p.astype(np.float64), np.array([1.0, 0, 0]))
+        got = np.asarray(geometry.unit_sphere_uv(jnp.asarray(p[None]), 0.0, 0.0, 0.0))[0]
+        ddu = abs(got[0] - want[0])
+        assert min(ddu, 1 - ddu) < 1e-3 and got[1] == pytest.approx(want[1], abs=1e-3)
