@@ -54,3 +54,20 @@ def test_sample_offset_progressive_accumulation():
     b = np.asarray(render_pixel_colors(scene, camera, cfg, spp=4, sample_offset=4, key=key))
     assert not np.array_equal(a, b)  # different Halton jitters
     assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+
+
+def test_spp_chunking_is_exact():
+    """RNG streams key on the global (offset-folded) work id, so rendering
+    spp=8 in one call equals two offset spp=4 calls averaged — exactly."""
+    import jax.numpy as jnp
+    from rt_tpu.wavefront import render_wavefront
+
+    camera = scenes.cam1(16, 12)
+    scene = scenes.cover_scene(2, 2, camera, seed=0)
+    cfg = RenderConfig(width=16, height=12, max_depth=6)
+    pix = jnp.arange(16 * 12, dtype=jnp.int32)
+    key = jax.random.key(5)
+    whole = np.asarray(render_wavefront(scene, camera, pix, cfg, 8, jnp.int32(0), key))
+    a = np.asarray(render_wavefront(scene, camera, pix, cfg, 4, jnp.int32(0), key))
+    b = np.asarray(render_wavefront(scene, camera, pix, cfg, 4, jnp.int32(4), key))
+    np.testing.assert_allclose((a + b) / 2.0, whole, atol=1e-6)
