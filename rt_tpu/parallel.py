@@ -130,6 +130,69 @@ def render_sharded(
     return colors[:n_pixels].reshape(h, w, 3)
 
 
+def render_sharded_wavefront(
+    scene: SceneData,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    *,
+    spp: int | None = None,
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Production multi-chip forward render: each device runs the
+    persistent wavefront (rt_tpu/wavefront.py) over its own pixel shard
+    via ``shard_map`` — embarrassingly parallel, zero collectives until
+    the final gather (SURVEY.md §5.8's "DCN only at image assembly").
+
+    Because wavefront RNG keys on the global (sample, pixel) pair, the
+    result is bit-identical to the single-device render regardless of the
+    mesh shape (tested on the simulated 8-device mesh)."""
+    try:
+        from jax import shard_map  # jax >= 0.6
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    from rt_tpu.wavefront import render_wavefront
+
+    spp = spp if spp is not None else cfg.samples_per_pixel
+    key = key if key is not None else jax.random.key(cfg.seed)
+    w, h = camera.image_width, camera.image_height
+    n_pixels = w * h
+    t = mesh.shape["tiles"] * mesh.shape["spp"]
+    n_pad = n_pixels + ((-n_pixels) % t)
+    # Pad with repeats of pixel 0 (harmless extra work, dropped below).
+    pixel_idx = jnp.concatenate(
+        [
+            jnp.arange(n_pixels, dtype=jnp.int32),
+            jnp.zeros((n_pad - n_pixels,), jnp.int32),
+        ]
+    )
+    pixel_idx = jax.device_put(
+        pixel_idx, NamedSharding(mesh, P(("tiles", "spp")))
+    )
+
+    import inspect
+
+    kw = {}
+    if "check_rep" in inspect.signature(shard_map).parameters:
+        kw["check_rep"] = False  # legacy jax.experimental API only
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(("tiles", "spp")),),
+        out_specs=P(("tiles", "spp")),
+        **kw,
+    )
+    def shard_fn(pix_local):
+        return render_wavefront(
+            scene, camera, pix_local, cfg, spp, jnp.int32(0), key
+        )
+
+    colors = jax.jit(shard_fn)(pixel_idx)
+    return colors[:n_pixels].reshape(h, w, 3)
+
+
 @partial(jax.jit, static_argnames=("cfg", "spp", "width", "lr"))
 def _train_step(
     params: grad_mod.SceneParams,

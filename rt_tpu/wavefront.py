@@ -137,15 +137,17 @@ def _render_fast(
     dkv = camera.defocus_disk_v
     center = camera.center
 
+    n_global = camera.image_width * camera.image_height
+
     def camera_rays(work_ids):
         slot = work_ids % p
         sample = (work_ids // p).astype(jnp.int32) + sample_offset
-        # RNG streams key on the *global* work id (sample_offset folded
-        # in), so spp-chunked and progressive renders draw independent
-        # randomness instead of replaying chunk-local streams.  int32
-        # wrap-around is fine for hashing.
-        gwork = work_ids + sample_offset * p
         pix = pixel_idx[jnp.clip(slot, 0, p - 1)]
+        # RNG streams key on the *global* (sample, pixel) pair, so renders
+        # are invariant to pool size, spp chunking, AND pixel sharding
+        # (a device's local work ids don't enter the hash).  int32
+        # wrap-around is fine for hashing.
+        gwork = sample * n_global + pix
         px = (pix % width).astype(jnp.float32)
         py = (pix // width).astype(jnp.float32)
         off_u, off_v = _camera_jitter(camera, cfg, seed, pix, sample)
@@ -167,7 +169,7 @@ def _render_fast(
         oz = jnp.where(use_dk, center[2] + dskx * dku[2] + dsky * dkv[2], center[2])
         zeros = jnp.zeros_like(ox)
         rays = jnp.stack([ox, oy, oz, sx - ox, sy - oy, sz - oz, zeros, zeros], 0)
-        return rays, slot
+        return rays, slot, gwork
 
     # Cluster path: winner ids are slot ids into the slot-ordered table.
     use_cluster = use_pallas and scene.clusters is not None
@@ -232,22 +234,23 @@ def _render_fast(
             claim_id = s["next_work"] + rank
             claim = idle & (claim_id < total_work)
             n_claimed = jnp.sum(claim.astype(jnp.int32))
-            new_rays, _ = camera_rays(jnp.maximum(claim_id, 0))
+            new_rays, _, new_gid = camera_rays(jnp.maximum(claim_id, 0))
             rays = jnp.where(claim[None, :], new_rays, s["rays"])
             tp = jnp.where(claim[None, :], 1.0, s["tp"])
             work = jnp.where(claim, claim_id, s["work"])
+            gid = jnp.where(claim, new_gid, s["gid"])
             depth = jnp.where(claim, 0, s["depth"])
             active = s["active"] | claim
             next_work = s["next_work"] + n_claimed
         else:
             rays, tp = s["rays"], s["tp"]
             work, depth, active = s["work"], s["depth"], s["active"]
+            gid = s["gid"]
             next_work = s["next_work"]
 
         t_best, prim = intersect(rays, n)
         out = fast_shade.shade_bounce(
-            scene, rays, t_best, prim, seed, work + sample_offset * p, depth,
-            cfg, table=shade_table,
+            scene, rays, t_best, prim, seed, gid, depth, cfg, table=shade_table
         )
 
         miss = active & ~out["hit"]
@@ -286,25 +289,35 @@ def _render_fast(
             rays=rays,
             tp=tp,
             work=work,
+            gid=gid,
             depth=depth + 1,
             active=cont,
             n_active=jnp.sum(cont.astype(jnp.int32)),
             next_work=next_work,
         )
 
+    # Zeros derived from the (possibly sharded) pixel array: under
+    # shard_map, constant-initialized while_loop carries are "unvarying"
+    # while the loop outputs vary over the manual axes, which is a type
+    # error — seeding every carry from a varying value fixes the types at
+    # zero runtime cost.
+    zf = 0.0 * pixel_idx[0].astype(jnp.float32)
+    zi = 0 * pixel_idx[0]
     init = dict(
-        acc_r=jnp.zeros((total_work,), jnp.float32),
-        acc_g=jnp.zeros((total_work,), jnp.float32),
-        acc_b=jnp.zeros((total_work,), jnp.float32),
+        acc_r=jnp.zeros((total_work,), jnp.float32) + zf,
+        acc_g=jnp.zeros((total_work,), jnp.float32) + zf,
+        acc_b=jnp.zeros((total_work,), jnp.float32) + zf,
         rays=jnp.concatenate(
             [jnp.zeros((3, b), jnp.float32), jnp.ones((5, b), jnp.float32)], axis=0
-        ),
-        tp=jnp.zeros((3, b), jnp.float32),
-        work=jnp.zeros((b,), jnp.int32),
-        depth=jnp.zeros((b,), jnp.int32),
-        active=jnp.zeros((b,), bool),
-        n_active=jnp.int32(0),
-        next_work=jnp.int32(0),
+        )
+        + zf,
+        tp=jnp.zeros((3, b), jnp.float32) + zf,
+        work=jnp.zeros((b,), jnp.int32) + zi,
+        gid=jnp.zeros((b,), jnp.int32) + zi,
+        depth=jnp.zeros((b,), jnp.int32) + zi,
+        active=jnp.zeros((b,), bool) | (zi > 0),
+        n_active=jnp.int32(0) + zi,
+        next_work=jnp.int32(0) + zi,
     )
 
     tail = 4096
@@ -329,6 +342,7 @@ def _render_fast(
             rays=state["rays"][:, order],
             tp=state["tp"][:, order],
             work=state["work"][order],
+            gid=state["gid"][order],
             depth=state["depth"][order],
             active=state["active"][order],
             n_active=state["n_active"],
@@ -371,10 +385,13 @@ def _render_generic(
     width = camera.image_width
     seed = _seed_from_key(key)
 
+    n_global = camera.image_width * camera.image_height
+
     def camera_rays(work_ids):
         slot = work_ids % p
         sample = (work_ids // p).astype(jnp.int32) + sample_offset
         pix = pixel_idx[jnp.clip(slot, 0, p - 1)]
+        gwork = sample * n_global + pix  # global (sample, pixel) stream
         px = pix % width
         py = pix // width
         off_u, off_v = _camera_jitter(camera, cfg, seed, pix, sample)
@@ -385,7 +402,7 @@ def _render_generic(
             + fx[:, None] * camera.pixel_du[None, :]
             + fy[:, None] * camera.pixel_dv[None, :]
         )
-        disk = rng.in_unit_disc(seed, work_ids + sample_offset * p, 0, 7)
+        disk = rng.in_unit_disc(seed, gwork, 0, 7)
         defocus_origin = (
             camera.center[None, :]
             + disk[:, 0:1] * camera.defocus_disk_u[None, :]
@@ -394,17 +411,20 @@ def _render_generic(
         org = jnp.where(
             camera.defocus_angle > 0.0, defocus_origin, camera.center[None, :]
         )
-        return org, pixel_sample - org, slot
+        return org, pixel_sample - org, gwork
 
+    zf = 0.0 * pixel_idx[0].astype(jnp.float32)  # varying zero (see fast path)
+    zi = 0 * pixel_idx[0]
     init = dict(
-        accum=jnp.zeros((total_work, 3), jnp.float32),
-        org=jnp.zeros((b, 3), jnp.float32),
-        dirn=jnp.ones((b, 3), jnp.float32),
-        throughput=jnp.zeros((b, 3), jnp.float32),
-        work=jnp.zeros((b,), jnp.int32),
-        depth=jnp.zeros((b,), jnp.int32),
-        active=jnp.zeros((b,), bool),
-        next_work=jnp.int32(0),
+        accum=jnp.zeros((total_work, 3), jnp.float32) + zf,
+        org=jnp.zeros((b, 3), jnp.float32) + zf,
+        dirn=jnp.ones((b, 3), jnp.float32) + zf,
+        throughput=jnp.zeros((b, 3), jnp.float32) + zf,
+        work=jnp.zeros((b,), jnp.int32) + zi,
+        gid=jnp.zeros((b,), jnp.int32) + zi,
+        depth=jnp.zeros((b,), jnp.int32) + zi,
+        active=jnp.zeros((b,), bool) | (zi > 0),
+        next_work=jnp.int32(0) + zi,
     )
 
     def cond(s):
@@ -417,12 +437,13 @@ def _render_generic(
         claim = idle & (claim_id < total_work)
         n_claimed = jnp.sum(claim.astype(jnp.int32))
 
-        new_org, new_dir, _ = camera_rays(jnp.maximum(claim_id, 0))
+        new_org, new_dir, new_gid = camera_rays(jnp.maximum(claim_id, 0))
         cm = claim[:, None]
         org = jnp.where(cm, new_org, s["org"])
         dirn = jnp.where(cm, new_dir, s["dirn"])
         throughput = jnp.where(cm, 1.0, s["throughput"])
         work = jnp.where(claim, claim_id, s["work"])
+        gid = jnp.where(claim, new_gid, s["gid"])
         depth = jnp.where(claim, 0, s["depth"])
         active = s["active"] | claim
 
@@ -444,12 +465,11 @@ def _render_generic(
         emis = active & rec.hit & is_emissive
         emit_rgb = texture_value(scene, scene.mat_texture[mat_id], rec.uv, rec.point)
 
-        gwork = work + sample_offset * p
         attenuation, new_bounce_dir = materials.scatter_hashed(
-            scene, rec, dirn, seed, gwork, depth, cfg.compat
+            scene, rec, dirn, seed, gid, depth, cfg.compat
         )
         rr_p = jnp.clip(jnp.max(attenuation, axis=-1), 0.0, cfg.compat.rr_clamp)
-        survive = rng.uniform(seed, gwork, depth, 10) < rr_p
+        survive = rng.uniform(seed, gid, depth, 10) < rr_p
         cont = active & rec.hit & survive & (depth < cfg.max_depth) & ~is_emissive
 
         contribution = throughput * jnp.where(miss[:, None], sky_rgb, emit_rgb)
@@ -475,6 +495,7 @@ def _render_generic(
             dirn=jnp.where(cont[:, None], new_bounce_dir, dirn),
             throughput=throughput,
             work=work,
+            gid=gid,
             depth=depth + 1,
             active=cont,
             next_work=s["next_work"] + n_claimed,

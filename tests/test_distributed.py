@@ -89,3 +89,23 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     out = jax.block_until_ready(out)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_sharded_wavefront_bit_identical(setup):
+    """The production wavefront under shard_map: 8-device render must be
+    bit-identical to 1-device (RNG keys on global (sample, pixel))."""
+    from rt_tpu.parallel import render_sharded_wavefront
+
+    scene, camera, cfg = setup
+    img8 = np.asarray(
+        render_sharded_wavefront(scene, camera, cfg, make_mesh(8, tiles=8), spp=2)
+    )
+    img1 = np.asarray(
+        render_sharded_wavefront(scene, camera, cfg, make_mesh(1, tiles=1), spp=2)
+    )
+    np.testing.assert_array_equal(img8, img1)
+    # And it matches the plain single-device wavefront render.
+    from rt_tpu.render import render_pixel_colors
+
+    direct = np.asarray(render_pixel_colors(scene, camera, cfg, spp=2))
+    np.testing.assert_allclose(img1, direct, atol=1e-6)
