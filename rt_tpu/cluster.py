@@ -69,27 +69,28 @@ def build_clusters(mins: np.ndarray, maxs: np.ndarray):
     m = max(len(clusters), 1)
     m_pad = -(-m // SUPER_SLOTS) * SUPER_SLOTS
     slots = np.full((m_pad * CLUSTER_SLOTS,), -1, np.int64)
-    # AABB tables are [8, M] (fields on sublanes, exact 8-sublane tile).
-    cluster_aabb = np.zeros((8, m_pad), np.float32)
-    cluster_aabb[0:3, :] = np.inf  # dummy: inverted AABB never hits
-    cluster_aabb[3:6, :] = -np.inf
+    # AABB tables are [M, 8]: clusters on sublanes (the kernels chunk or
+    # scalar-index them along sublanes; the 8 fields pad to one lane tile).
+    cluster_aabb = np.zeros((m_pad, 8), np.float32)
+    cluster_aabb[:, 0:3] = np.inf  # dummy: inverted AABB never hits
+    cluster_aabb[:, 3:6] = -np.inf
     for ci, ids in enumerate(clusters):
         assert len(ids) <= CLUSTER_SLOTS
         slots[ci * CLUSTER_SLOTS : ci * CLUSTER_SLOTS + len(ids)] = ids
-        cluster_aabb[0:3, ci] = mins[ids].min(axis=0)
-        cluster_aabb[3:6, ci] = maxs[ids].max(axis=0)
+        cluster_aabb[ci, 0:3] = mins[ids].min(axis=0)
+        cluster_aabb[ci, 3:6] = maxs[ids].max(axis=0)
 
     n_supers = m_pad // SUPER_SLOTS
-    super_aabb = np.zeros((8, max(n_supers, 1)), np.float32)
+    super_aabb = np.zeros((max(n_supers, 1), 8), np.float32)
     for si in range(n_supers):
-        block = cluster_aabb[:, si * SUPER_SLOTS : (si + 1) * SUPER_SLOTS]
-        live = block[0] <= block[3]
+        block = cluster_aabb[si * SUPER_SLOTS : (si + 1) * SUPER_SLOTS]
+        live = block[:, 0] <= block[:, 3]
         if live.any():
-            super_aabb[0:3, si] = block[0:3, live].min(axis=1)
-            super_aabb[3:6, si] = block[3:6, live].max(axis=1)
+            super_aabb[si, 0:3] = block[live, 0:3].min(axis=0)
+            super_aabb[si, 3:6] = block[live, 3:6].max(axis=0)
         else:
-            super_aabb[0:3, si] = np.inf
-            super_aabb[3:6, si] = -np.inf
+            super_aabb[si, 0:3] = np.inf
+            super_aabb[si, 3:6] = -np.inf
 
     slot_of_prim = np.full((max(p, 1),), 0, np.int64)
     live = slots >= 0

@@ -332,11 +332,11 @@ def sphere_nearest_packed(
 
 def _cluster_kernel(
     rays_ref,
-    ss_ref,  # sphere super AABBs [8, Ss]
-    sc_ref,  # sphere cluster AABBs [8, Ms_pad]
+    ss_ref,  # sphere super AABBs [Ss, 8] (SMEM)
+    sc_ref,  # sphere cluster AABBs [Ms_pad, 8] (SMEM)
     sp_ref,  # sphere slots [4, Ms_pad*128]
-    ts_ref,  # triangle super AABBs [8, St]
-    tc_ref,  # triangle cluster AABBs [8, Mt_pad]
+    ts_ref,  # triangle super AABBs [St, 8] (SMEM)
+    tc_ref,  # triangle cluster AABBs [Mt_pad, 8] (SMEM)
     tp_ref,  # triangle slots [12, Mt_pad*128]
     t_ref,
     idx_ref,
@@ -378,9 +378,9 @@ def _cluster_kernel(
 
     def any_enters(ref, ci):  # AABB tables live in SMEM: arbitrary
         # dynamic scalar indexing (VMEM lane-dim dynamic slices must be
-        # 128-aligned, which cluster ids are not).
-        lx, ly, lz = ref[0, ci], ref[1, ci], ref[2, ci]
-        hx, hy, hz = ref[3, ci], ref[4, ci], ref[5, ci]
+        # 128-aligned, which cluster ids are not).  Tables are [M, 8].
+        lx, ly, lz = ref[ci, 0], ref[ci, 1], ref[ci, 2]
+        hx, hy, hz = ref[ci, 3], ref[ci, 4], ref[ci, 5]
         t0x = (lx - ox) * inv_dx
         t1x = (hx - ox) * inv_dx
         t0y = (ly - oy) * inv_dy
@@ -521,8 +521,8 @@ def cluster_nearest(
     # (build_clusters), which any_enters() rejects — no special-casing.
     kernel = functools.partial(
         _cluster_kernel,
-        n_s_supers=sph_super.shape[1],
-        n_t_supers=tri_super.shape[1],
+        n_s_supers=sph_super.shape[0],
+        n_t_supers=tri_super.shape[0],
         n_sph_slots=int(n_sph_slots),
         t_min=float(t_min),
         t_max=float(t_max),
@@ -556,6 +556,330 @@ def cluster_nearest(
         ],
         interpret=interpret,
     )(rays, sph_super, sph_cluster, sph_slots, tri_super, tri_cluster, tri_slots)
+    return t[0], idx[0]
+
+
+def _worklist_kernel(
+    rays_ref,  # f32[8, R] block
+    scl_ref,  # sphere cluster AABBs f32[Ms_pad, 8] (VMEM, sublane-major)
+    sp_ref,  # sphere slots f32[4, Ms_pad*128]
+    tcl_ref,  # triangle cluster AABBs f32[Mt_pad, 8]
+    tp_ref,  # triangle slots f32[12, Mt_pad*128]
+    t_ref,
+    idx_ref,
+    bt_scr,  # VMEM [1, R] f32
+    bi_scr,  # VMEM [1, R] i32
+    mask_scr,  # VMEM [M_max, 128] i32 per-cluster entered masks (col 0)
+    wl_vmem,  # VMEM [1, M_pad128] i32 worklist staging (lane-major)
+    wl_smem,  # SMEM [1, M_pad128] i32 worklist
+    dma_sem,
+    *,
+    n_s_clusters,
+    n_t_clusters,
+    n_sph_slots,
+    t_min,
+    t_max,
+    backface_cull,
+):
+    """Branchless two-phase clustered nearest hit.
+
+    ``pl.when`` per cluster costs ~10 us of pipeline drain on v5e, which
+    made the predicated cluster kernel slower than brute force.  This
+    kernel has NO vector-unit branches in the hot path:
+
+    phase A: slab-test every cluster AABB against the whole ray tile,
+             vectorized in 64-cluster chunks -> entered mask per cluster;
+    phase B: arithmetic stream compaction (rank = cumsum(mask); a
+             rank-match mask-reduce writes entered ids densely) -> DMA the
+             worklist to SMEM for scalar indexing;
+    phase C: one while_loop over the ENTERED clusters only; each iteration
+             intersects a 128-prim chunk branchlessly.
+    """
+    big = 3.0e38
+    rays = rays_ref[:, :]
+    ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    dx, dy, dz = rays[3:4, :], rays[4:5, :], rays[5:6, :]
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+    tiny = 1.0e-20
+    inv_dx = 1.0 / jnp.where(jnp.abs(dx) > tiny, dx, tiny)
+    inv_dy = 1.0 / jnp.where(jnp.abs(dy) > tiny, dy, tiny)
+    inv_dz = 1.0 / jnp.where(jnp.abs(dz) > tiny, dz, tiny)
+
+    bt_scr[0:1, :] = jnp.full(bt_scr.shape, big, jnp.float32)
+    bi_scr[0:1, :] = jnp.full(bi_scr.shape, -1, jnp.int32)
+
+    def cluster_masks(cl_ref, m_pad, row_base):
+        """Entered mask per cluster, written to mask_scr rows
+        [row_base, row_base + m_pad) (Mosaic has no dynamic_update_slice on
+        values; scratch-ref stores with pl.ds are the supported form)."""
+        n_chunks = m_pad // 64
+
+        def chunk(ci, _):
+            box = cl_ref[pl.ds(ci * 64, 64), :]  # [64, 8]
+            lx, ly, lz = box[:, 0:1], box[:, 1:2], box[:, 2:3]
+            hx, hy, hz = box[:, 3:4], box[:, 4:5], box[:, 5:6]
+            t0x = (lx - ox) * inv_dx  # [64, R]
+            t1x = (hx - ox) * inv_dx
+            t0y = (ly - oy) * inv_dy
+            t1y = (hy - oy) * inv_dy
+            t0z = (lz - oz) * inv_dz
+            t1z = (hz - oz) * inv_dz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            hit = (tn <= tf) & (tf >= 0.0) & (tn < bt_scr[0:1, :])
+            any_hit = jnp.max(hit.astype(jnp.int32), axis=1, keepdims=True)  # [64,1]
+            mask_scr[pl.ds(row_base + ci * 64, 64), 0:1] = any_hit
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk, 0)
+
+    def compact(mask, offset):
+        """Dense worklist of entered cluster ids (+offset tag), padded -1:
+        i32[m_pad, 1] via rank-match reduction (no scatters; Mosaic has no
+        cumsum lowering, so the inclusive prefix sum is a lower-triangular
+        matmul on the MXU)."""
+        m_pad = mask.shape[0]
+        row = jax.lax.broadcasted_iota(jnp.int32, (m_pad, m_pad), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (m_pad, m_pad), 1)
+        tri_ones = (col <= row).astype(jnp.float32)
+        rank = (
+            jnp.dot(tri_ones, mask.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+            .astype(jnp.int32)
+            - 1
+        )  # [m_pad, 1] inclusive prefix sum - 1
+        ids = jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
+        # onehot[m, j] = (mask_m & rank_m == j); compacted_j = sum_m id_m*onehot
+        j_ids = jax.lax.broadcasted_iota(jnp.int32, (m_pad, m_pad), 1)
+        match = (rank == j_ids) & (mask > 0)  # [m, j]
+        compacted = jnp.sum(
+            jnp.where(match, ids + offset, 0), axis=0, keepdims=True
+        )  # [1, m_pad]
+        filled = jnp.sum(match.astype(jnp.int32), axis=0, keepdims=True)
+        return jnp.where(filled > 0, compacted, -1)  # [1, m_pad] lane-major
+
+    total_pad = wl_smem.shape[1]  # lane-major [1, total_pad]
+    cluster_masks(scl_ref, n_s_clusters, 0)
+    cluster_masks(tcl_ref, n_t_clusters, n_s_clusters)
+    s_mask = mask_scr[0:n_s_clusters, 0:1]
+    t_mask = mask_scr[n_s_clusters : n_s_clusters + n_t_clusters, 0:1]
+
+    count = jnp.sum(s_mask) + jnp.sum(t_mask)
+    n_s_entered = jnp.sum(s_mask)
+
+    s_list = compact(s_mask, 0)  # [1, ms]
+    t_list = compact(t_mask, n_s_clusters)  # [1, mt], ids tagged +ms
+    wl_sphere_part = jnp.concatenate(
+        [s_list, jnp.full((1, total_pad - n_s_clusters), -1, jnp.int32)], axis=1
+    )
+    # Entry j comes from the sphere list when j < n_s_entered, else from
+    # the triangle list shifted down by n_s_entered — selected
+    # arithmetically (rank-match reduce), no dynamic slicing.
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, total_pad), 1)
+    t_j = jnp.clip(j_iota - n_s_entered, 0, n_t_clusters - 1)  # [1, total_pad]
+    t_gathered = jnp.sum(
+        jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (n_t_clusters, total_pad), 0)
+            == t_j,
+            jnp.broadcast_to(t_list.T, (n_t_clusters, total_pad)),
+            0,
+        ),
+        axis=0,
+        keepdims=True,
+    )  # [1, total_pad]
+    wl = jnp.where(j_iota < n_s_entered, wl_sphere_part, t_gathered)
+
+    # Whole-buffer DMA to SMEM (slices would need 128-lane alignment).
+    wl_vmem[0:1, :] = wl
+    copy = pltpu.make_async_copy(wl_vmem, wl_smem, dma_sem)
+    copy.start()
+    copy.wait()
+
+    # ---- phase C: branchless loop over entered clusters only.  Rays are
+    # re-read transposed once (sublane-major) so prim chunks ([fields, 128]
+    # with prims on lanes) broadcast without per-chunk transposes.
+    rays_t = rays.T  # [R, 8]
+    oxc, oyc, ozc = rays_t[:, 0:1], rays_t[:, 1:2], rays_t[:, 2:3]
+    dxc, dyc, dzc = rays_t[:, 3:4], rays_t[:, 4:5], rays_t[:, 5:6]
+    a_c = dxc * dxc + dyc * dyc + dzc * dzc
+    inv_a_c = 1.0 / a_c
+    bt_col = jnp.full((rays_t.shape[0], 1), big, jnp.float32)
+    bi_col = jnp.full((rays_t.shape[0], 1), -1, jnp.int32)
+
+    def process_sphere(j, carry):
+        """Sphere-cluster entry: worklist[j] < n_s_clusters by construction
+        (sphere entries precede triangle entries)."""
+        best_t, best_i = carry
+        ci = wl_smem[0, j]
+        s_off = pl.multiple_of(ci * 128, 128)
+        sph = sp_ref[:, pl.ds(s_off, 128)]  # [4, 128]
+        cx, cy, cz, rad = sph[0:1, :], sph[1:2, :], sph[2:3, :], sph[3:4, :]
+        ocx = cx - oxc  # [R, 128]
+        ocy = cy - oyc
+        ocz = cz - ozc
+        h = dxc * ocx + dyc * ocy + dzc * ocz
+        c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+        disc = h * h - a_c * c
+        sd = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = (h - sd) * inv_a_c
+        t1 = (h + sd) * inv_a_c
+        t_cand = jnp.where(t0 >= t_min, t0, t1)
+        valid = (disc >= 0.0) & (rad > 0.0) & (t_cand >= t_min) & (t_cand < t_max)
+        t_cand = jnp.where(valid, t_cand, big)
+        cmin = jnp.min(t_cand, axis=1, keepdims=True)  # [R,1]
+        ids = jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 1) + ci * 128
+        sel = jnp.min(
+            jnp.where(t_cand == cmin, ids, jnp.int32(2**30)), axis=1, keepdims=True
+        )
+        better = cmin < best_t
+        return (jnp.where(better, cmin, best_t), jnp.where(better, sel, best_i))
+
+    def process_tri(j, carry):
+        """Triangle-cluster entry (tags offset by n_s_clusters)."""
+        best_t, best_i = carry
+        ci = wl_smem[0, j] - n_s_clusters
+        t_off = pl.multiple_of(ci * 128, 128)
+        tri = tp_ref[:, pl.ds(t_off, 128)]  # [12, 128]
+        ax_, ay_, az_ = tri[0:1, :], tri[1:2, :], tri[2:3, :]
+        e1x, e1y, e1z = tri[3:4, :], tri[4:5, :], tri[5:6, :]
+        e2x, e2y, e2z = tri[6:7, :], tri[7:8, :], tri[8:9, :]
+        live = tri[9:10, :]
+        uvx = dyc * e2z - dzc * e2y
+        uvy = dzc * e2x - dxc * e2z
+        uvz = dxc * e2y - dyc * e2x
+        det = e1x * uvx + e1y * uvy + e1z * uvz
+        if backface_cull:
+            det_ok = det > 1e-7
+        else:
+            det_ok = jnp.abs(det) > 1e-7
+        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+        aox = oxc - ax_
+        aoy = oyc - ay_
+        aoz = ozc - az_
+        u = (aox * uvx + aoy * uvy + aoz * uvz) * inv_det
+        vvx = aoy * e1z - aoz * e1y
+        vvy = aoz * e1x - aox * e1z
+        vvz = aox * e1y - aoy * e1x
+        v = (dxc * vvx + dyc * vvy + dzc * vvz) * inv_det
+        tt = (e2x * vvx + e2y * vvy + e2z * vvz) * inv_det
+        valid = (
+            det_ok
+            & (live > 0.5)
+            & (u >= 0.0)
+            & (u <= 1.0)
+            & (v >= 0.0)
+            & (u + v <= 1.0)
+            & (tt >= t_min)
+            & (tt < t_max)
+            & (tt > 1e-7)
+        )
+        t_cand = jnp.where(valid, tt, big)
+        cmin = jnp.min(t_cand, axis=1, keepdims=True)
+        ids = (
+            jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 1)
+            + ci * 128
+            + n_sph_slots
+        )
+        sel = jnp.min(
+            jnp.where(t_cand == cmin, ids, jnp.int32(2**30)), axis=1, keepdims=True
+        )
+        better = cmin < best_t
+        return (jnp.where(better, cmin, best_t), jnp.where(better, sel, best_i))
+
+    def while_over(lo, hi, fn, carry):
+        def cond(c):
+            return c[0] < hi
+
+        def body(c):
+            j, bt, bi = c
+            bt, bi = fn(j, (bt, bi))
+            return j + 1, bt, bi
+
+        return jax.lax.while_loop(cond, body, (lo, carry[0], carry[1]))[1:]
+
+    # Sphere entries occupy worklist[0, 0:n_s_entered); triangles follow.
+    bt_col, bi_col = while_over(jnp.int32(0), n_s_entered, process_sphere, (bt_col, bi_col))
+    bt_col, bi_col = while_over(n_s_entered, count, process_tri, (bt_col, bi_col))
+
+    t_ref[0:1, :] = bt_col.T
+    idx_ref[0:1, :] = bi_col.T
+
+
+MAX_WORKLIST_CLUSTERS = 1024  # compaction builds an [M, M] match matrix
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_sph_slots", "t_min", "t_max", "backface_cull", "interpret"),
+)
+def cluster_worklist_nearest(
+    rays: jnp.ndarray,  # f32[8, N]
+    sph_cluster: jnp.ndarray,  # f32[Ms_pad, 8] sublane-major AABBs
+    sph_slots: jnp.ndarray,  # f32[4, Ms_pad*128]
+    tri_cluster: jnp.ndarray,  # f32[Mt_pad, 8]
+    tri_slots: jnp.ndarray,  # f32[12, Mt_pad*128]
+    n_sph_slots: int,
+    t_min: float,
+    t_max: float,
+    backface_cull: bool = True,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Branchless clustered nearest hit (see _worklist_kernel).
+
+    Returns (t f32[N], slot id i32[N]; sphere slots first, -1 = miss)."""
+    n = rays.shape[1]
+    ms = sph_cluster.shape[0]
+    mt = tri_cluster.shape[0]
+    assert n % RAY_TILE == 0
+    assert ms + mt <= MAX_WORKLIST_CLUSTERS, "use cluster_nearest / fallback"
+
+    kernel = functools.partial(
+        _worklist_kernel,
+        n_s_clusters=ms,
+        n_t_clusters=mt,
+        n_sph_slots=int(n_sph_slots),
+        t_min=float(t_min),
+        t_max=float(t_max),
+        backface_cull=bool(backface_cull),
+    )
+    m_total = ms + mt
+    m_lane_pad = -(-m_total // 128) * 128
+    full = lambda arr: pl.BlockSpec(arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    t, idx = pl.pallas_call(
+        kernel,
+        grid=(n // RAY_TILE,),
+        in_specs=[
+            pl.BlockSpec((8, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            full(sph_cluster),
+            full(sph_slots),
+            full(tri_cluster),
+            full(tri_slots),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, RAY_TILE), jnp.float32),
+            pltpu.VMEM((1, RAY_TILE), jnp.int32),
+            pltpu.VMEM((m_total, 128), jnp.int32),
+            pltpu.VMEM((1, m_lane_pad), jnp.int32),
+            pltpu.SMEM((1, m_lane_pad), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(rays, sph_cluster, sph_slots, tri_cluster, tri_slots)
     return t[0], idx[0]
 
 

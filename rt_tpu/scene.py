@@ -73,11 +73,11 @@ class ClusterData(struct.PyTreeNode):
     slots, plus the shade table re-ordered so kernel slot ids index it
     directly."""
 
-    sph_super: jnp.ndarray  # f32[8, Ss]
-    sph_cluster: jnp.ndarray  # f32[8, Ms_pad]
+    sph_super: jnp.ndarray  # f32[Ss, 8]
+    sph_cluster: jnp.ndarray  # f32[Ms_pad, 8]
     sph_slots: jnp.ndarray  # f32[4, Ms_pad*128]
-    tri_super: jnp.ndarray  # f32[8, St]
-    tri_cluster: jnp.ndarray  # f32[8, Mt_pad]
+    tri_super: jnp.ndarray  # f32[St, 8]
+    tri_cluster: jnp.ndarray  # f32[Mt_pad, 8]
     tri_slots: jnp.ndarray  # f32[12, Mt_pad*128]
     shade_table: jnp.ndarray  # f32[F, slots_pad] slot-ordered
     n_sph_slots: int = struct.field(pytree_node=False, default=0)
@@ -463,7 +463,7 @@ class SceneBuilder:
         vmem_bytes = (
             s_slots.shape[0] * 32
             + t_slots.shape[0] * 64
-            + (s_cl.shape[1] + t_cl.shape[1] + s_sup.shape[1] + t_sup.shape[1]) * 32
+            + (s_cl.shape[0] + t_cl.shape[0] + s_sup.shape[0] + t_sup.shape[0]) * 512
         )
         if vmem_bytes > 6 * 1024 * 1024:
             return None

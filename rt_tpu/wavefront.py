@@ -185,6 +185,21 @@ def _render_fast(
             )
         if use_cluster:
             cl = scene.clusters
+            m_total = cl.sph_cluster.shape[0] + cl.tri_cluster.shape[0]
+            if m_total <= pallas_ops.MAX_WORKLIST_CLUSTERS:
+                # Branchless worklist kernel: ~10 us per pl.when branch made
+                # the predicated variant slower than brute force.
+                return pallas_ops.cluster_worklist_nearest(
+                    rays,
+                    cl.sph_cluster,
+                    cl.sph_slots,
+                    cl.tri_cluster,
+                    cl.tri_slots,
+                    cl.n_sph_slots,
+                    cfg.t_min,
+                    cfg.t_max,
+                    cfg.compat.triangle_backface_cull,
+                )
             return pallas_ops.cluster_nearest(
                 rays,
                 cl.sph_super,

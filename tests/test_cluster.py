@@ -21,20 +21,20 @@ def test_build_clusters_structure(rng):
     assert sorted(slots[live].tolist()) == list(range(n))
     for p in range(n):
         assert slots[slot_of[p]] == p
-    # Fixed strides; AABB tables are [8, M].
+    # Fixed strides; AABB tables are [M, 8].
     assert slots.shape[0] % CLUSTER_SLOTS == 0
-    assert cl_aabb.shape[1] * CLUSTER_SLOTS == slots.shape[0]
-    assert cl_aabb.shape[1] % 64 == 0
+    assert cl_aabb.shape[0] * CLUSTER_SLOTS == slots.shape[0]
+    assert cl_aabb.shape[0] % 64 == 0
     # Cluster AABBs contain their prims.
-    m = cl_aabb.shape[1]
+    m = cl_aabb.shape[0]
     for ci in range(m):
         ids = slots[ci * CLUSTER_SLOTS : (ci + 1) * CLUSTER_SLOTS]
         ids = ids[ids >= 0]
         if len(ids) == 0:
-            assert cl_aabb[0, ci] > cl_aabb[3, ci]  # inverted dummy
+            assert cl_aabb[ci, 0] > cl_aabb[ci, 3]  # inverted dummy
             continue
-        assert (cl_aabb[0:3, ci] <= (centers - half)[ids].min(0) + 1e-5).all()
-        assert (cl_aabb[3:6, ci] >= (centers + half)[ids].max(0) - 1e-5).all()
+        assert (cl_aabb[ci, 0:3] <= (centers - half)[ids].min(0) + 1e-5).all()
+        assert (cl_aabb[ci, 3:6] >= (centers + half)[ids].max(0) - 1e-5).all()
 
 
 def test_build_clusters_empty():
@@ -42,8 +42,8 @@ def test_build_clusters_empty():
         np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32)
     )
     assert (slots == -1).all()
-    assert (cl_aabb[0] > cl_aabb[3]).all()
-    assert (sup_aabb[0] > sup_aabb[3]).all()
+    assert (cl_aabb[:, 0] > cl_aabb[:, 3]).all()
+    assert (sup_aabb[:, 0] > sup_aabb[:, 3]).all()
 
 
 def _cluster_scene(rng, n_sph=300, n_tri=200):
@@ -113,3 +113,40 @@ def test_cluster_scene_shade_table_slots(rng):
         table[fast_shade.F_RADIUS, : cl.n_sph_slots][live], sph_tab[3, live], rtol=1e-6
     )
     assert (table[fast_shade.F_IS_SPHERE, : cl.n_sph_slots][live] == 1.0).all()
+
+
+def test_worklist_kernel_matches_rows(rng):
+    from rt_tpu.pallas_ops import cluster_worklist_nearest
+
+    scene = _cluster_scene(rng)
+    cl = scene.clusters
+
+    n = 256
+    rays = np.zeros((8, n), np.float32)
+    rays[0:3] = rng.uniform(-10, 10, (3, n))
+    rays[3:6] = rng.normal(size=(3, n))
+    rays_j = jnp.asarray(rays)
+
+    t_k, slot_k = cluster_worklist_nearest(
+        rays_j, cl.sph_cluster, cl.sph_slots, cl.tri_cluster, cl.tri_slots,
+        cl.n_sph_slots, 1e-3, 1e9, True, interpret=True,
+    )
+    t_s, _ = fast_shade.sphere_nearest_rows(scene, rays_j, 1e-3, 1e9)
+    t_t, _ = fast_shade.triangle_nearest_rows(scene, rays_j, 1e-3, 1e9, CompatConfig())
+    t_ref = np.minimum(np.asarray(t_s), np.asarray(t_t))
+
+    t_k = np.asarray(t_k)
+    hit = t_ref < 1e30
+    assert np.array_equal(np.asarray(slot_k) >= 0, hit)
+    np.testing.assert_allclose(t_k[hit], t_ref[hit], rtol=2e-4, atol=2e-4)
+
+    # Winner slots reference consistent geometry.
+    slot_k = np.asarray(slot_k)
+    sph_tab = np.asarray(cl.sph_slots)
+    for lane in np.nonzero(hit)[0][:40]:
+        sl = slot_k[lane]
+        if sl < cl.n_sph_slots:
+            c, r = sph_tab[0:3, sl], sph_tab[3, sl]
+            assert r > 0
+            p = rays[0:3, lane] + t_k[lane] * rays[3:6, lane]
+            assert abs(np.linalg.norm(p - c) - r) < 5e-3 * max(1, r)
