@@ -82,6 +82,12 @@ class RenderConfig:
     # Detach discrete sampling decisions in the backward pass (path-replay
     # style).  Keep True: unbiased detached-sampling estimator.
     detach_sampling: bool = True
+    # Sort wavefront pool lanes by (origin cell, direction octant) each
+    # iteration on the clustered path.  Improves tile coherence for the
+    # worklist kernel but the argsort + state permutation costs about as
+    # much as it saves on the scenes measured so far (ROADMAP) — off by
+    # default; images are identical either way.
+    sort_rays: bool = False
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
 
     def replace(self, **kw) -> "RenderConfig":

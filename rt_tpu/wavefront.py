@@ -177,6 +177,48 @@ def _render_fast(
         scene.clusters.shade_table if use_cluster else scene.shade_table
     )
 
+    if use_cluster:
+        # Scene bounds for ray-sorting keys (from live cluster AABBs).
+        cl_ = scene.clusters
+        live_s = cl_.sph_cluster[:, 0] <= cl_.sph_cluster[:, 3]
+        live_t = cl_.tri_cluster[:, 0] <= cl_.tri_cluster[:, 3]
+        mins = jnp.minimum(
+            jnp.min(jnp.where(live_s[:, None], cl_.sph_cluster[:, 0:3], jnp.inf), axis=0),
+            jnp.min(jnp.where(live_t[:, None], cl_.tri_cluster[:, 0:3], jnp.inf), axis=0),
+        )
+        maxs = jnp.maximum(
+            jnp.max(jnp.where(live_s[:, None], cl_.sph_cluster[:, 3:6], -jnp.inf), axis=0),
+            jnp.max(jnp.where(live_t[:, None], cl_.tri_cluster[:, 3:6], -jnp.inf), axis=0),
+        )
+        inv_ext = 1.0 / jnp.maximum(maxs - mins, 1e-6)
+
+    def sort_pool(rays, tp, work, gid, depth, active):
+        """Reorder pool lanes for tile coherence: key = (direction octant,
+        8^3 origin Morton-ish cell).  The worklist kernel skips cluster
+        chunks only when NO ray in a 256-lane tile enters them, so bounce
+        coherence directly multiplies its effectiveness.  Lane order does
+        not affect the image (RNG keys on (sample, pixel); claims assign
+        the same contiguous work range either way)."""
+        oct_ = (
+            (rays[3] > 0).astype(jnp.int32) * 4
+            + (rays[4] > 0).astype(jnp.int32) * 2
+            + (rays[5] > 0).astype(jnp.int32)
+        )
+        cell = jnp.int32(0)
+        for axis in range(3):
+            nc = jnp.clip((rays[axis] - mins[axis]) * inv_ext[axis], 0.0, 0.999)
+            cell = cell * 32 + (nc * 32.0).astype(jnp.int32)
+        key = jnp.where(active, cell * 8 + oct_, jnp.int32(1 << 20))
+        perm = jnp.argsort(key)
+        return (
+            rays[:, perm],
+            tp[:, perm],
+            work[perm],
+            gid[perm],
+            depth[perm],
+            active[perm],
+        )
+
     def intersect(rays, n):
         if scene.num_spheres + scene.num_triangles == 0:
             return (
@@ -262,6 +304,11 @@ def _render_fast(
             work, depth, active = s["work"], s["depth"], s["active"]
             gid = s["gid"]
             next_work = s["next_work"]
+
+        if use_cluster and cfg.sort_rays:
+            rays, tp, work, gid, depth, active = sort_pool(
+                rays, tp, work, gid, depth, active
+            )
 
         t_best, prim = intersect(rays, n)
         out = fast_shade.shade_bounce(
