@@ -577,6 +577,8 @@ def _worklist_kernel(
     n_s_clusters,
     n_t_clusters,
     n_sph_slots,
+    sph_slot_base,
+    tri_slot_base,
     t_min,
     t_max,
     backface_cull,
@@ -734,7 +736,11 @@ def _worklist_kernel(
         valid = (disc >= 0.0) & (rad > 0.0) & (t_cand >= t_min) & (t_cand < t_max)
         t_cand = jnp.where(valid, t_cand, big)
         cmin = jnp.min(t_cand, axis=1, keepdims=True)  # [R,1]
-        ids = jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 1) + ci * 128
+        ids = (
+            jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 1)
+            + ci * 128
+            + sph_slot_base
+        )
         sel = jnp.min(
             jnp.where(t_cand == cmin, ids, jnp.int32(2**30)), axis=1, keepdims=True
         )
@@ -786,6 +792,7 @@ def _worklist_kernel(
             jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 1)
             + ci * 128
             + n_sph_slots
+            + tri_slot_base
         )
         sel = jnp.min(
             jnp.where(t_cand == cmin, ids, jnp.int32(2**30)), axis=1, keepdims=True
@@ -817,7 +824,10 @@ MAX_WORKLIST_CLUSTERS = 1024  # compaction builds an [M, M] match matrix
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_sph_slots", "t_min", "t_max", "backface_cull", "interpret"),
+    static_argnames=(
+        "n_sph_slots", "sph_slot_base", "tri_slot_base",
+        "t_min", "t_max", "backface_cull", "interpret",
+    ),
 )
 def cluster_worklist_nearest(
     rays: jnp.ndarray,  # f32[8, N]
@@ -829,22 +839,27 @@ def cluster_worklist_nearest(
     t_min: float,
     t_max: float,
     backface_cull: bool = True,
+    sph_slot_base: int = 0,
+    tri_slot_base: int = 0,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Branchless clustered nearest hit (see _worklist_kernel).
 
-    Returns (t f32[N], slot id i32[N]; sphere slots first, -1 = miss)."""
+    ``*_slot_base`` globalize winner ids for paged tables (scene.py
+    ClusterPage).  Returns (t f32[N], slot id i32[N]; -1 = miss)."""
     n = rays.shape[1]
     ms = sph_cluster.shape[0]
     mt = tri_cluster.shape[0]
     assert n % RAY_TILE == 0
-    assert ms + mt <= MAX_WORKLIST_CLUSTERS, "use cluster_nearest / fallback"
+    assert ms + mt <= MAX_WORKLIST_CLUSTERS, "split into pages (ClusterPage)"
 
     kernel = functools.partial(
         _worklist_kernel,
         n_s_clusters=ms,
         n_t_clusters=mt,
         n_sph_slots=int(n_sph_slots),
+        sph_slot_base=int(sph_slot_base),
+        tri_slot_base=int(tri_slot_base),
         t_min=float(t_min),
         t_max=float(t_max),
         backface_cull=bool(backface_cull),

@@ -48,6 +48,10 @@ TEX_SOLID = 0
 TEX_CHECKER = 1
 TEX_IMAGE = 2
 
+# Clusters per worklist-kernel page (scene splits larger cluster sets into
+# pages; tests shrink this to exercise multi-page merging cheaply).
+CLUSTER_PAGE = 512
+
 
 class BvhArrays(struct.PyTreeNode):
     """Flattened BVH in depth-first order with skip ("escape") indices for
@@ -67,14 +71,33 @@ class BvhArrays(struct.PyTreeNode):
     prim_order: jnp.ndarray  # i32[NP] permutation of global prim ids
 
 
-class ClusterData(struct.PyTreeNode):
-    """Two-level clustered primitive tables for the Pallas wavefront kernel
-    (see rt_tpu/cluster.py): fixed-stride supers -> clusters -> 64-prim
-    slots, plus the shade table re-ordered so kernel slot ids index it
-    directly."""
+class ClusterPage(struct.PyTreeNode):
+    """One VMEM-sized page of clustered primitive tables.  Scenes larger
+    than a page are split; the worklist kernel runs once per page and the
+    wavefront merges the per-page winners (table paging: each kernel call
+    streams ~<=4 MB of tables HBM->VMEM, trivial traffic per bounce).
 
-    sph_super: jnp.ndarray  # f32[Ss, 8]
+    Winner slot ids are globalized by the static bases so every page
+    indexes the one slot-ordered shade table."""
+
     sph_cluster: jnp.ndarray  # f32[Ms_pad, 8]
+    sph_slots: jnp.ndarray  # f32[4, Ms_pad*128]
+    tri_cluster: jnp.ndarray  # f32[Mt_pad, 8]
+    tri_slots: jnp.ndarray  # f32[12, Mt_pad*128]
+    sph_slot_base: int = struct.field(pytree_node=False, default=0)
+    tri_slot_base: int = struct.field(pytree_node=False, default=0)
+
+
+class ClusterData(struct.PyTreeNode):
+    """Clustered primitive tables for the Pallas wavefront kernel
+    (see rt_tpu/cluster.py): fixed-stride clusters of 128 prim slots,
+    paged for VMEM residency, plus the shade table re-ordered so kernel
+    slot ids index it directly.  The legacy two-level (super) tables are
+    kept for the predicated kernel variant."""
+
+    pages: tuple  # tuple[ClusterPage, ...]
+    sph_super: jnp.ndarray  # f32[Ss, 8]
+    sph_cluster: jnp.ndarray  # f32[Ms_pad, 8] (page 0 compat view)
     sph_slots: jnp.ndarray  # f32[4, Ms_pad*128]
     tri_super: jnp.ndarray  # f32[St, 8]
     tri_cluster: jnp.ndarray  # f32[Mt_pad, 8]
@@ -458,16 +481,6 @@ class SceneBuilder:
         t_max_ = np.maximum(np.maximum(tri_a[:nt], tri_b[:nt]), tri_c[:nt])
         _, t_slots, t_cl, t_sup = build_clusters(t_min_, t_max_)
 
-        # VMEM estimate with sublane padding: sphere table [4,n] pads to 8
-        # sublanes (32 B/slot), triangle table [12,n] to 16 (64 B/slot).
-        vmem_bytes = (
-            s_slots.shape[0] * 32
-            + t_slots.shape[0] * 64
-            + (s_cl.shape[0] + t_cl.shape[0] + s_sup.shape[0] + t_sup.shape[0]) * 512
-        )
-        if vmem_bytes > 6 * 1024 * 1024:
-            return None
-
         sph_slot_tab = pack_sphere_slots(s_slots, sph_center, sph_radius)
         tri_slot_tab = pack_triangle_slots(t_slots, tri_a, tri_b, tri_c)
 
@@ -483,7 +496,59 @@ class SceneBuilder:
             :, len(self._spheres) + t_slots[live_t]
         ]
 
+        # Page split: each kernel invocation takes <=CLUSTER_PAGE clusters
+        # of each type so its tables stay within the VMEM budget; huge
+        # scenes just run more pages per bounce.
+        PAGE = CLUSTER_PAGE
+        dummy_cl = np.zeros((64, 8), np.float32)
+        dummy_cl[:, 0:3] = np.inf
+        dummy_cl[:, 3:6] = -np.inf
+        dummy_sph = np.zeros((4, 64 * 128), np.float32)
+        dummy_tri = np.zeros((12, 64 * 128), np.float32)
+
+        pages = []
+        ms = s_cl.shape[0]
+        mt = t_cl.shape[0]
+        s_pages = [(p, min(p + PAGE, ms)) for p in range(0, ms, PAGE)]
+        t_pages = [(p, min(p + PAGE, mt)) for p in range(0, mt, PAGE)]
+        single = len(s_pages) <= 1 and len(t_pages) <= 1
+        if single:
+            pages.append(
+                ClusterPage(
+                    sph_cluster=jnp.asarray(s_cl),
+                    sph_slots=jnp.asarray(sph_slot_tab),
+                    tri_cluster=jnp.asarray(t_cl),
+                    tri_slots=jnp.asarray(tri_slot_tab),
+                    sph_slot_base=0,
+                    tri_slot_base=0,
+                )
+            )
+        else:
+            for lo, hi in s_pages:
+                pages.append(
+                    ClusterPage(
+                        sph_cluster=jnp.asarray(s_cl[lo:hi]),
+                        sph_slots=jnp.asarray(sph_slot_tab[:, lo * 128 : hi * 128]),
+                        tri_cluster=jnp.asarray(dummy_cl),
+                        tri_slots=jnp.asarray(dummy_tri),
+                        sph_slot_base=lo * 128,
+                        tri_slot_base=0,
+                    )
+                )
+            for lo, hi in t_pages:
+                pages.append(
+                    ClusterPage(
+                        sph_cluster=jnp.asarray(dummy_cl),
+                        sph_slots=jnp.asarray(dummy_sph),
+                        tri_cluster=jnp.asarray(t_cl[lo:hi]),
+                        tri_slots=jnp.asarray(tri_slot_tab[:, lo * 128 : hi * 128]),
+                        sph_slot_base=0,
+                        tri_slot_base=lo * 128,
+                    )
+                )
+
         return ClusterData(
+            pages=tuple(pages),
             sph_super=jnp.asarray(s_sup),
             sph_cluster=jnp.asarray(s_cl),
             sph_slots=jnp.asarray(sph_slot_tab),

@@ -226,35 +226,30 @@ def _render_fast(
                 jnp.full((n,), -1, jnp.int32),
             )
         if use_cluster:
+            # Branchless worklist kernel over each VMEM-sized table page
+            # (~10 us per pl.when branch made the predicated variant
+            # slower than brute force); per-page winners merge by min-t.
             cl = scene.clusters
-            m_total = cl.sph_cluster.shape[0] + cl.tri_cluster.shape[0]
-            if m_total <= pallas_ops.MAX_WORKLIST_CLUSTERS:
-                # Branchless worklist kernel: ~10 us per pl.when branch made
-                # the predicated variant slower than brute force.
-                return pallas_ops.cluster_worklist_nearest(
+            t_best = jnp.full((n,), fast_shade.BIG, jnp.float32)
+            slot_best = jnp.full((n,), -1, jnp.int32)
+            for page in cl.pages:
+                t_p, s_p = pallas_ops.cluster_worklist_nearest(
                     rays,
-                    cl.sph_cluster,
-                    cl.sph_slots,
-                    cl.tri_cluster,
-                    cl.tri_slots,
+                    page.sph_cluster,
+                    page.sph_slots,
+                    page.tri_cluster,
+                    page.tri_slots,
                     cl.n_sph_slots,
                     cfg.t_min,
                     cfg.t_max,
                     cfg.compat.triangle_backface_cull,
+                    sph_slot_base=page.sph_slot_base,
+                    tri_slot_base=page.tri_slot_base,
                 )
-            return pallas_ops.cluster_nearest(
-                rays,
-                cl.sph_super,
-                cl.sph_cluster,
-                cl.sph_slots,
-                cl.tri_super,
-                cl.tri_cluster,
-                cl.tri_slots,
-                cl.n_sph_slots,
-                cfg.t_min,
-                cfg.t_max,
-                cfg.compat.triangle_backface_cull,
-            )
+                better = t_p < t_best
+                t_best = jnp.where(better, t_p, t_best)
+                slot_best = jnp.where(better, s_p, slot_best)
+            return t_best, slot_best
         if use_pallas:
             return pallas_ops.prim_nearest_packed(
                 rays,

@@ -150,3 +150,58 @@ def test_worklist_kernel_matches_rows(rng):
             assert r > 0
             p = rays[0:3, lane] + t_k[lane] * rays[3:6, lane]
             assert abs(np.linalg.norm(p - c) - r) < 5e-3 * max(1, r)
+
+
+def test_paged_worklist_matches_single_page(rng):
+    """Manual page split of one scene's cluster tables: per-page kernel
+    results merged by min-t must equal the single-page kernel (slot bases
+    globalize winner ids)."""
+    from rt_tpu.pallas_ops import cluster_worklist_nearest
+
+    # Enough spheres to build clusters (>2048 prims) with >= 128 cluster
+    # entries so two 64-cluster sub-pages exist.
+    b = SceneBuilder()
+    m = b.lambertian_rgb(0.6, 0.5, 0.4)
+    centers = rng.uniform(-40, 40, (16500, 3))
+    radii = rng.uniform(0.2, 0.5, 16500)
+    for c, r in zip(centers, radii):
+        b.add_sphere(c, r, m)
+    scene = b.build(use_bvh=False)
+    cl = scene.clusters
+    ms = cl.sph_cluster.shape[0]
+    assert ms >= 128  # two 64-cluster sub-pages available
+
+    n = 256
+    rays = np.zeros((8, n), np.float32)
+    rays[0:3] = rng.uniform(-8, 8, (3, n))
+    rays[3:6] = rng.normal(size=(3, n))
+    rays_j = jnp.asarray(rays)
+
+    args = dict(t_min=1e-3, t_max=1e9, backface_cull=True, interpret=True)
+    t_ref, s_ref = cluster_worklist_nearest(
+        rays_j, cl.sph_cluster, cl.sph_slots, cl.tri_cluster, cl.tri_slots,
+        cl.n_sph_slots, **args,
+    )
+
+    half = 64
+    t_best = np.full((n,), 3e38, np.float32)
+    s_best = np.full((n,), -1, np.int32)
+    for lo in range(0, ms, half):
+        hi = min(lo + half, ms)
+        t_p, s_p = cluster_worklist_nearest(
+            rays_j,
+            cl.sph_cluster[lo:hi],
+            cl.sph_slots[:, lo * 128 : hi * 128],
+            cl.tri_cluster,
+            cl.tri_slots,
+            cl.n_sph_slots,
+            sph_slot_base=lo * 128,
+            **args,
+        )
+        t_p, s_p = np.asarray(t_p), np.asarray(s_p)
+        better = t_p < t_best
+        t_best = np.where(better, t_p, t_best)
+        s_best = np.where(better, s_p, s_best)
+
+    np.testing.assert_allclose(t_best, np.asarray(t_ref), rtol=1e-6)
+    np.testing.assert_array_equal(s_best, np.asarray(s_ref))
