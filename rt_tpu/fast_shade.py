@@ -177,11 +177,14 @@ def shade_bounce(
     depth: jnp.ndarray,
     cfg,
     table: jnp.ndarray | None = None,
+    params: jnp.ndarray | None = None,
 ) -> dict:
     """One scalarized bounce after intersection.
 
     ``prim`` indexes ``table`` (defaults to scene.shade_table; the cluster
-    path passes its slot-ordered table and slot ids).
+    path passes its slot-ordered table and slot ids).  When the kernel
+    already fetched the winner's parameter columns (prim_nearest_shaded),
+    pass them as ``params`` f32[F, B] and the fetch here is skipped.
 
     Returns dict with: new_rays f32[8,B], attenuation rgb rows f32[3,B],
     sky rgb rows f32[3,B], hit bool[B], survive bool[B].
@@ -200,7 +203,7 @@ def shade_bounce(
     py = oy + ts * dy
     pz = oz + ts * dz
 
-    f = fetch_params(table, jnp.where(hit, prim, 0))
+    f = params if params is not None else fetch_params(table, jnp.where(hit, prim, 0))
     is_sphere = f[F_IS_SPHERE] > 0.5
 
     # --- Normal + front face (hittable.rs:340-346, 464). ---------------

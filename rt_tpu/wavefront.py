@@ -220,10 +220,13 @@ def _render_fast(
         )
 
     def intersect(rays, n):
+        """Returns (t, prim, params|None); params are pre-fetched shade
+        columns when the fused kernel ran."""
         if scene.num_spheres + scene.num_triangles == 0:
             return (
                 jnp.full((n,), fast_shade.BIG, jnp.float32),
                 jnp.full((n,), -1, jnp.int32),
+                None,
             )
         if use_cluster:
             # Branchless worklist kernel over each VMEM-sized table page
@@ -249,17 +252,21 @@ def _render_fast(
                 better = t_p < t_best
                 t_best = jnp.where(better, t_p, t_best)
                 slot_best = jnp.where(better, s_p, slot_best)
-            return t_best, slot_best
+            return t_best, slot_best, None
         if use_pallas:
-            return pallas_ops.prim_nearest_packed(
+            # Fused variant also emits the winner's shade-table columns
+            # (the XLA one-hot fetch is HBM-bound; in-kernel it is free).
+            t_k, id_k, params_k = pallas_ops.prim_nearest_shaded(
                 rays,
                 scene.sph_packed,
                 scene.tri_packed,
+                shade_table,
                 scene.num_spheres,
                 cfg.t_min,
                 cfg.t_max,
                 cfg.compat.triangle_backface_cull,
             )
+            return t_k, id_k, params_k
         # XLA fallback (CPU tests).
         t_s, id_s = (
             fast_shade.sphere_nearest_rows(scene, rays, cfg.t_min, cfg.t_max)
@@ -273,8 +280,8 @@ def _render_fast(
             tri_better = t_t < t_s
             t_best = jnp.where(tri_better, t_t, t_s)
             prim = jnp.where(tri_better, id_t + scene.num_spheres, id_s)
-            return t_best, jnp.where(t_best < fast_shade.BIG, prim, -1)
-        return t_s, id_s
+            return t_best, jnp.where(t_best < fast_shade.BIG, prim, -1), None
+        return t_s, id_s, None
 
     def bounce(s, claiming: bool):
         """One wavefront iteration; ``claiming`` toggles work regeneration
@@ -305,9 +312,10 @@ def _render_fast(
                 rays, tp, work, gid, depth, active
             )
 
-        t_best, prim = intersect(rays, n)
+        t_best, prim, params = intersect(rays, n)
         out = fast_shade.shade_bounce(
-            scene, rays, t_best, prim, seed, gid, depth, cfg, table=shade_table
+            scene, rays, t_best, prim, seed, gid, depth, cfg,
+            table=shade_table, params=params,
         )
 
         miss = active & ~out["hit"]
