@@ -179,23 +179,57 @@ def cover_scene(
     b.add_sphere(saul_loc, big_r, saul_mat, front_direction=viewer)
 
     big_sites = [p1, p2, p3, p4, saul_loc, p5]
-    for i in range(-grid_i, grid_i):
-        for j in range(-grid_j, grid_j):
-            radius = 0.2
-            albedo = rng.uniform(0.0, 1.0, 3)
-            offset = np.array([rng.uniform(0.0, 0.9), rng.uniform(0.0, 0.9), z])
-            center = np.array([float(i), float(j), radius]) + offset
-            collide = radius + big_r + 1.0
-            if any(np.linalg.norm(center - s) < collide for s in big_sites):
-                continue
-            choose = rng.uniform(0.0, 1.0)
-            if choose > 0.95:
+    if grid_i * grid_j <= 2500:
+        # Per-sphere loop (matches the reference's sequential generation,
+        # scenes.rs:198-236, with a seeded generator).
+        for i in range(-grid_i, grid_i):
+            for j in range(-grid_j, grid_j):
+                radius = 0.2
+                albedo = rng.uniform(0.0, 1.0, 3)
+                offset = np.array([rng.uniform(0.0, 0.9), rng.uniform(0.0, 0.9), z])
+                center = np.array([float(i), float(j), radius]) + offset
+                collide = radius + big_r + 1.0
+                if any(np.linalg.norm(center - s) < collide for s in big_sites):
+                    continue
+                choose = rng.uniform(0.0, 1.0)
+                if choose > 0.95:
+                    mat = b.dielectric(1.5)
+                elif choose > 0.8:
+                    mat = b.metal_solid(albedo, rng.uniform(0.0, 0.5))
+                else:
+                    mat = b.lambertian_rgb(*albedo)
+                b.add_sphere(center, radius, mat)
+    else:
+        # Vectorized generation for cover-large scale (the Python loop
+        # costs ~2 minutes at 300x300); same distributions, different
+        # draw order, so the same seed yields a different (equally valid)
+        # arrangement than the loop path.
+        ii, jj = np.meshgrid(
+            np.arange(-grid_i, grid_i), np.arange(-grid_j, grid_j), indexing="ij"
+        )
+        n = ii.size
+        radius = 0.2
+        albedo = rng.uniform(0.0, 1.0, (n, 3))
+        offsets = np.stack(
+            [rng.uniform(0.0, 0.9, n), rng.uniform(0.0, 0.9, n), np.full(n, z)], -1
+        )
+        centers = (
+            np.stack([ii.ravel(), jj.ravel(), np.full(n, radius)], -1) + offsets
+        )
+        collide = radius + big_r + 1.0
+        keep = np.ones(n, bool)
+        for site in big_sites:
+            keep &= np.linalg.norm(centers - site, axis=-1) >= collide
+        choose = rng.uniform(0.0, 1.0, n)
+        fuzz = rng.uniform(0.0, 0.5, n)
+        for k in np.nonzero(keep)[0]:
+            if choose[k] > 0.95:
                 mat = b.dielectric(1.5)
-            elif choose > 0.8:
-                mat = b.metal_solid(albedo, rng.uniform(0.0, 0.5))
+            elif choose[k] > 0.8:
+                mat = b.metal_solid(albedo[k], fuzz[k])
             else:
-                mat = b.lambertian_rgb(*albedo)
-            b.add_sphere(center, radius, mat)
+                mat = b.lambertian_rgb(*albedo[k])
+            b.add_sphere(centers[k], radius, mat)
 
     return b.build(sky=SkyParams.default())
 
