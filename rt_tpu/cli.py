@@ -34,6 +34,8 @@ def build_scene(spec: str, camera, seed: int, texture_dir: str | None):
         return scenes.earth_scene(texture_dir)
     if spec == "checkered":
         return scenes.gen_checkered()
+    if spec == "textured":
+        return scenes.textured_spheres_scene(texture_dir)
     if spec == "triangles":
         return scenes.triangle_scene(texture_dir)
     if spec.startswith("obj:"):
@@ -60,7 +62,7 @@ def build_scene(spec: str, camera, seed: int, texture_dir: str | None):
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="rt_tpu", description=__doc__)
     parser.add_argument("--scene", default="cover",
-                        help="cover | cover-large | earth | checkered | triangles | obj:PATH | gltf:PATH")
+                        help="cover | cover-large | earth | checkered | textured | triangles | obj:PATH | gltf:PATH")
     parser.add_argument("--camera", default="cam1",
                         choices=["cam1", "cam2", "widecam", "topdown"])
     parser.add_argument("--size", default="800x600", help="WIDTHxHEIGHT")

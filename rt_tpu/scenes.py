@@ -287,6 +287,28 @@ def _load_or_procedural(name: str, texture_dir: str | None) -> np.ndarray:
     return _procedural_texture(name)
 
 
+def textured_spheres_scene(texture_dir: str | None = None) -> SceneData:
+    """BASELINE config 2: spheres exercising every texture/material kind —
+    checkered ground spheres, an image-textured globe, clear and frosted
+    glass, fuzzy metal (frosted dielectric: material.rs:138-143)."""
+    b = SceneBuilder()
+    even = b.solid_color((0.2, 0.3, 0.1))
+    odd = b.solid_color((0.9, 0.9, 0.9))
+    checker_mat = b.lambertian(b.checker(0.31, even, odd))
+    b.add_sphere((0.0, 0.0, -1000.0), 999.8, checker_mat)
+
+    earth_mat = b.lambertian(b.image_texture(_load_or_procedural("earth", texture_dir)))
+    b.add_sphere((0.0, 0.0, 0.5), 0.7, earth_mat, front_direction=(3.0, -5.0, 0.6))
+
+    glass = b.dielectric(1.5)
+    b.add_sphere((-1.6, 0.3, 0.4), 0.6, glass)
+    frosted = b.dielectric(1.5, 0.15)
+    b.add_sphere((1.6, 0.3, 0.4), 0.6, frosted)
+    fuzzy_metal = b.metal_solid((0.8, 0.7, 0.5), 0.25)
+    b.add_sphere((0.0, 1.8, 0.4), 0.6, fuzzy_metal)
+    return b.build()
+
+
 def mesh_scene(
     obj_paths: dict[str, str],
     seed: int = 0,

@@ -58,6 +58,13 @@ def golden_cases():
         RenderConfig(width=96, height=54, samples_per_pixel=4, max_depth=8),
     )
 
+    camera5 = scenes.cam1(96, 54)
+    cases["textured_spheres"] = (
+        scenes.textured_spheres_scene(),
+        camera5,
+        RenderConfig(width=96, height=54, samples_per_pixel=8, max_depth=8),
+    )
+
     camera3 = scenes.widecam(96, 54)
     cases["earth"] = (
         scenes.earth_scene(),
