@@ -289,9 +289,27 @@ class SceneBuilder:
             )
         )
 
-    def add_triangles(self, vertices: np.ndarray, uvs: np.ndarray | None, material: int):
-        """Bulk triangle append: vertices f32[n,3,3], uvs f32[n,3,2]|None."""
+    def add_triangles(
+        self,
+        vertices: np.ndarray,
+        uvs: np.ndarray | None,
+        material: int,
+        transform: np.ndarray | None = None,
+        shift=None,
+    ):
+        """Bulk triangle append: vertices f32[n,3,3], uvs f32[n,3,2]|None.
+
+        ``transform`` applies a 4x4 matrix's rotation/scale part (the
+        reference's Triangle::transform uses nalgebra's transform_vector —
+        no translation, hittable.rs:214-227); ``shift`` adds a translation
+        (Triangle::shift, hittable.rs:229-239)."""
         vertices = np.asarray(vertices, np.float32)
+        if transform is not None:
+            t = np.asarray(transform, np.float32)
+            flat = vertices.reshape(-1, 3) @ t[:3, :3].T
+            vertices = flat.reshape(-1, 3, 3)
+        if shift is not None:
+            vertices = vertices + np.asarray(shift, np.float32)[None, None, :]
         if uvs is None:
             uvs = np.broadcast_to(
                 np.array([[0.0, 0.0], [1.0, 0.0], [0.5, 1.0]], np.float32),

@@ -94,3 +94,18 @@ def test_progressive_corrected_sample_indexing():
     assert np.all(np.isfinite(r2.state.image))
     # Different jitter schedules -> different accumulations.
     assert not np.array_equal(r1.state.accum, r2.state.accum)
+
+
+def test_add_triangles_transform_and_shift():
+    """Triangle::transform rotation/scale (no translation) and
+    Triangle::shift parity (hittable.rs:214-239)."""
+    b = SceneBuilder()
+    m = b.lambertian_rgb(0.5, 0.5, 0.5)
+    verts = np.array([[[1, 0, 0], [0, 1, 0], [0, 0, 1]]], np.float32)
+    scale2 = np.diag([2.0, 2.0, 2.0, 1.0]).astype(np.float32)
+    scale2[0:3, 3] = [9, 9, 9]  # translation must be IGNORED (transform_vector)
+    b.add_triangles(verts, None, m, transform=scale2, shift=(0.0, 0.0, 1.0))
+    scene = b.build(use_bvh=False)
+    np.testing.assert_allclose(np.asarray(scene.tri_a[0]), [2, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(scene.tri_b[0]), [0, 2, 1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(scene.tri_c[0]), [0, 0, 3], atol=1e-6)
