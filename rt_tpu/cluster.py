@@ -6,12 +6,13 @@ structure for the fast path is a *fixed-stride two-level cluster grid*
 derived from the SAH BVH:
 
 - level 0: primitives, reordered into BVH-leaf order and padded so every
-  **cluster owns exactly 64 slots** (dummy slots can never hit);
-- level 1: clusters, padded so every **super owns exactly 64 clusters**
-  (dummy clusters have inverted AABBs).
+  **cluster owns exactly CLUSTER_SLOTS (128) slots** (dummy slots can
+  never hit);
+- level 1: clusters, padded so every **super owns exactly SUPER_SLOTS
+  (64) clusters** (dummy clusters have inverted AABBs).
 
 Fixed strides mean the kernel addresses are ``super*64 + cluster`` and
-``cluster*64 + slot`` — no indirection tables, no gathers.  The kernel
+``cluster*128 + slot`` — no indirection tables, no gathers.  The kernel
 loops supers -> (predicated) clusters -> (predicated) 64-prim chunks;
 ``pl.when`` skips chunks no ray in the 256-ray tile wants, which is where
 the BVH-style work reduction comes from (exact for coherent primary
@@ -54,7 +55,7 @@ def _leaf_clusters(mins: np.ndarray, maxs: np.ndarray, leaf_size: int):
 def build_clusters(mins: np.ndarray, maxs: np.ndarray):
     """Cluster primitives by AABB.
 
-    Returns (slot_of_prim i32[P] -> slot index, slots i32[M*64] -> prim id
+    Returns (slot_of_prim i32[P] -> slot index, slots i32[M*CLUSTER_SLOTS] -> prim id
     or -1, cluster_aabb f32[M_pad, 8], super_aabb f32[S, 8]) where M_pad is
     a SUPER_SLOTS multiple and dummy entries have inverted AABBs.
     """

@@ -55,7 +55,9 @@ def set_params(scene: SceneData, p: SceneParams) -> SceneData:
         atlas=p.atlas,
         mat_fuzz=p.mat_fuzz,
         mat_ior=p.mat_ior,
-        sky=SkyParams(
+        # replace() (not a fresh SkyParams) so non-pytree static fields like
+        # cos_gamma_as_angle survive gradient/training steps.
+        sky=scene.sky.replace(
             sun_direction=p.sky_sun_direction,
             turbidity=p.sky_turbidity,
             exposure=p.sky_exposure,

@@ -27,6 +27,8 @@ emits immutable device arrays (+ BVH, built on host).
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import jax.numpy as jnp
 from flax import struct
@@ -192,7 +194,6 @@ class SceneBuilder:
         self._materials: list[_Material] = []
         self._spheres: list[tuple] = []
         self._triangles: list[tuple] = []
-        self._image_cache: dict[int, int] = {}
 
     # -- textures ----------------------------------------------------------
 
@@ -218,13 +219,11 @@ class SceneBuilder:
 
     def image_texture(self, image: np.ndarray) -> int:
         """ImageTexture from an f32[h,w,3] array in [0,1] (texture.rs:76-97).
-        Identical arrays (by id) are deduplicated in the atlas."""
-        key = id(image)
+        Identical pixel buffers are deduplicated in the atlas at build()."""
         image = np.ascontiguousarray(np.asarray(image, np.float32))
         if image.ndim != 3 or image.shape[2] != 3:
             raise ValueError(f"image texture must be (h, w, 3), got {image.shape}")
         self._textures.append(_Texture(TEX_IMAGE, image=image))
-        self._image_cache.setdefault(key, len(self._textures) - 1)
         return len(self._textures) - 1
 
     # -- materials ---------------------------------------------------------
@@ -374,7 +373,11 @@ class SceneBuilder:
         unique: list[np.ndarray] = []
         rect_of: dict[int, int] = {}
         for tex_id, img in images:
-            digest = img.tobytes()[:4096] + img.shape.__repr__().encode()
+            # Full-buffer hash: a prefix digest silently aliased distinct
+            # textures sharing their first rows (e.g. a common sky band).
+            digest = (
+                hashlib.sha1(img.tobytes()).digest() + repr(img.shape).encode()
+            )
             if digest not in seen:
                 seen[digest] = len(unique)
                 unique.append(img)

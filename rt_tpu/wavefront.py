@@ -336,10 +336,13 @@ def _render_fast(
         dep_r = jnp.where(miss, skr, emr)
         dep_g = jnp.where(miss, skg, emg)
         dep_b = jnp.where(miss, skb, emb)
+        # Idle lanes all share the out-of-bounds sentinel index, so the
+        # indices are NOT unique — JAX's unique_indices contract doesn't
+        # exempt dropped writes, so don't claim it.
         deposit_idx = jnp.where(miss | emis, work, total_work)
-        acc_r = s["acc_r"].at[deposit_idx].set(tp[0] * dep_r, mode="drop", unique_indices=True)
-        acc_g = s["acc_g"].at[deposit_idx].set(tp[1] * dep_g, mode="drop", unique_indices=True)
-        acc_b = s["acc_b"].at[deposit_idx].set(tp[2] * dep_b, mode="drop", unique_indices=True)
+        acc_r = s["acc_r"].at[deposit_idx].set(tp[0] * dep_r, mode="drop")
+        acc_g = s["acc_g"].at[deposit_idx].set(tp[1] * dep_g, mode="drop")
+        acc_b = s["acc_b"].at[deposit_idx].set(tp[2] * dep_b, mode="drop")
 
         ar, ag, ab = out["att"]  # already RR-scaled by 1/p
         tp = jnp.where(
@@ -539,9 +542,7 @@ def _render_generic(
 
         contribution = throughput * jnp.where(miss[:, None], sky_rgb, emit_rgb)
         deposit_idx = jnp.where(miss | emis, work, total_work)
-        accum = s["accum"].at[deposit_idx].set(
-            contribution, mode="drop", unique_indices=True
-        )
+        accum = s["accum"].at[deposit_idx].set(contribution, mode="drop")
 
         throughput = jnp.where(
             cont[:, None],
