@@ -17,9 +17,15 @@ def setup():
     b = SceneBuilder()
     lam = b.lambertian_rgb(0.8, 0.5, 0.3)
     metal = b.metal_solid((0.7, 0.6, 0.5), 0.1)
+    glass = b.dielectric(1.5)
+    # Bright procedural image so rr_clamp=0.6 still pins survival.
+    img = np.linspace(0.6, 1.0, 8 * 8 * 3, dtype=np.float32).reshape(8, 8, 3)
+    textured = b.lambertian(b.image_texture(img))
     # In cam1's field of view (it looks at the origin from (3,-5,0.6)).
     b.add_sphere((-0.6, 0.4, 0.0), 0.7, lam)
     b.add_sphere((0.7, -0.3, 0.1), 0.6, metal)
+    b.add_sphere((1.4, -1.5, 0.2), 0.5, glass)
+    b.add_sphere((-1.3, -0.9, 0.0), 0.5, textured)
     scene = b.build(use_bvh=False)
     camera = scenes.cam1(24, 16)
     # Per-sample FD checking needs the sampling *decisions* to be constant
@@ -57,6 +63,14 @@ def _loss_fn(setup_vals):
         ("tex_color", (1, 1), 1e-2, 0.08),  # metal albedo G
         ("sky_exposure", (), 1e-2, 0.08),
         ("sky_turbidity", (), 1e-2, 0.12),
+        # VERDICT round-1 item 6: every SceneParams leaf FD-validated.
+        # fuzz/IOR flow through the detached-decision machinery; with
+        # frozen keys their per-sample losses are smooth except for the
+        # measure-small reflect/refract threshold flips, hence the wider
+        # tolerances and smaller IOR step.
+        ("mat_fuzz", (1,), 1e-2, 0.15),  # metal fuzz
+        ("mat_ior", (2,), 1e-3, 0.20),  # dielectric refractive index
+        ("sky_sun_direction", (0,), 1e-2, 0.12),
     ],
 )
 def test_grad_matches_finite_difference(setup, leaf, index, eps, tol):
@@ -71,6 +85,21 @@ def test_grad_matches_finite_difference(setup, leaf, index, eps, tol):
     assert abs(fd) > 1e-6, (leaf, index, "FD gradient vanished — scene bug?")
     scale = max(abs(ad), abs(fd), 1e-4)
     assert abs(ad - fd) / scale < tol, (leaf, index, ad, fd)
+
+
+def test_grad_atlas_matches_finite_difference(setup):
+    """FD-check the atlas texel that AD says matters most (an arbitrary
+    fixed texel might never be sampled)."""
+    loss = _loss_fn(setup)
+    params = grad_mod.get_params(setup[0])
+    g = jax.grad(loss)(params)
+    ga = np.asarray(g.atlas)
+    assert np.abs(ga).max() > 0.0, "no atlas gradient — textured sphere unhit?"
+    idx = np.unravel_index(np.argmax(np.abs(ga)), ga.shape)
+    ad = float(ga[idx])
+    fd = grad_mod.finite_difference_grad(loss, params, "atlas", idx, 1e-2)
+    scale = max(abs(ad), abs(fd), 1e-4)
+    assert abs(ad - fd) / scale < 0.1, (idx, ad, fd)
 
 
 def test_pixel_grad_api(setup):
