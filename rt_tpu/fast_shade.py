@@ -26,6 +26,7 @@ source); tests assert statistical agreement between the two paths.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from rt_tpu import rng
@@ -162,7 +163,8 @@ def fetch_params(table: jnp.ndarray, prim: jnp.ndarray) -> jnp.ndarray:
     if p_pad <= 2048:
         ids = jnp.arange(p_pad, dtype=jnp.int32)
         onehot = (ids[:, None] == prim[None, :]).astype(jnp.float32)  # [P,B]
-        return jnp.dot(table, onehot, preferred_element_type=jnp.float32)
+        return jnp.dot(table, onehot, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     rows = table.T[prim]  # [B, F] gather
     return rows.T
 
@@ -492,6 +494,17 @@ def _sky_rows(scene: SceneData, dx, dy, dz):
         cos_gamma = jnp.cos(gamma)
     else:
         gamma = jnp.arccos(jnp.clip(cos_gamma, -1.0 + 1e-6, 1.0 - 1e-6))
+
+    white_scale = 1.0 / color_mod.uncharted2_tonemap(jnp.float32(11.2))
+    tm = lambda x: jnp.maximum(
+        white_scale * color_mod.uncharted2_tonemap(1.1 * x), 0.0
+    )
+    if params.hw_params is not None:  # Hosek-Wilkie mode (sky.py)
+        r, g, b = sky_mod.hosek_radiance_rgb(
+            params.hw_params, cos_theta, gamma, cos_gamma
+        )
+        e = params.exposure
+        return tm(r * e), tm(g * e), tm(b * e)
     theta_s = jnp.arccos(jnp.clip(sun[2], 0.0, 1.0 - 1e-6))
     cos_theta_s = jnp.cos(theta_s)
 

@@ -1,0 +1,1074 @@
+"""Persistent megakernel: the whole bounce loop in ONE Pallas call.
+
+Round-1 architecture ran two device programs per bounce (intersection
+kernel + XLA-fused shading/RR/claims/deposits) and measured ~2.1 ms of
+XLA-side stitching per wavefront iteration against ~1.35 ms of kernel —
+a hard ceiling of ~24 Mray/s on the cover bench (ROADMAP.md).  This module
+deletes the stitching: claims, camera-ray regeneration, Halton jitter,
+intersection, shading, Russian roulette and radiance deposits all execute
+inside a single ``pallas_call`` whose state lives in VMEM across bounce
+iterations.  HBM traffic per frame is the scene tables in + one radiance
+image out.
+
+Reference analog: the whole of ``Camera::render_pixel`` + ``World::hit``
+(camera.rs:266-313, hittable.rs:58-93) — here as one persistent TPU
+program per pixel tile instead of one rayon task per pixel.
+
+Design (see also fast_shade.py, whose scalarized math this ports):
+
+- the grid is ``n_pixels / NP`` tiles; each grid program OWNS a
+  contiguous range of NP pixels and integrates all ``spp`` samples for
+  them with a persistent pool of R ray lanes (claims + regeneration keep
+  the pool full until the tile's work queue drains);
+- work claims use a branchless prefix-sum over lanes (lower-triangular
+  one-hot matmul on the MXU — Mosaic has no cumsum lowering);
+- sphere intersection offloads its dot products to the MXU
+  (``[C,3] @ [3,R]``); the remaining quadratic/select math is VPU
+  elementwise, and the (t, prim-id) argmin packs the candidate id into
+  the low mantissa bits of t so ONE i32 min-reduction resolves both
+  (the ≤2^-14 relative t truncation is far below the scale-aware ray
+  offset; an exact two-reduction variant exists for parity tests);
+- radiance deposits accumulate into a per-tile VMEM image via a
+  rank-1-factorized one-hot (pixel = q*256 + r: ``E_q[NQ,R]`` and
+  ``E_r[256,R]`` outer-product matmuls), so NO scatter ever touches HBM;
+- the RNG is the same counter-based murmur hash as rng.py keyed on the
+  global (sample, pixel) work id, so images agree with the two-program
+  wavefront up to f32 summation order.
+
+Eligibility (callers fall back to wavefront.py otherwise): flat
+brute-force scene (shade_table present, prims <= 4096), no image
+textures (the atlas fetch is the one true gather on the path), and a
+contiguous pixel range.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rt_tpu import sky as sky_mod
+from rt_tpu.camera import Camera
+from rt_tpu.config import RenderConfig
+from rt_tpu.scene import SceneData
+from rt_tpu import fast_shade
+
+BIG = np.float32(3.0e38)
+
+# Default pool geometry (overridable for tests/tuning).
+LANES = 256  # ray lanes per grid program (pool size per tile)
+TILE_PIXELS = 2048  # pixels owned per grid program (multiple of 256)
+SPHERE_CHUNK = 128
+TRI_CHUNK = 64  # tri_packed is padded to 64 rows (scene.py)
+
+# f32 scalar-param row layout (SMEM input).
+_P_PIX00 = 0  # 3
+_P_DU = 3  # 3
+_P_DV = 6  # 3
+_P_DKU = 9  # 3
+_P_DKV = 12  # 3
+_P_CENTER = 15  # 3
+_P_SUN = 18  # 3
+_P_COEF_Y = 21  # 5
+_P_COEF_X = 26  # 5
+_P_COEF_YC = 31  # 5
+_P_ZY = 36  # zenith_y / den_y * exposure
+_P_ZX = 37  # zenith_x / den_x
+_P_ZYC = 38  # zenith_yc / den_yc
+_P_F32_LEN = 40
+
+_PI_SEED = 0
+_PI_SAMPLE_OFF = 1
+_PI_PIX_BASE = 2
+_PI_I32_LEN = 4
+
+_INV_24 = np.float32(5.9604645e-8)  # 2^-24, matches rng.uniform
+_M1 = 0x85EBCA6B
+_M2 = 0xC2B2AE35
+_WEYL = 0x9E3779B9
+
+# Uncharted2 constants (color.py / the reference's tonemap).
+_TM_A, _TM_B, _TM_C = 0.15, 0.50, 0.10
+_TM_D, _TM_E, _TM_F = 0.20, 0.02, 0.30
+
+
+def _u2(x):
+    a, b, c, d, e, f = _TM_A, _TM_B, _TM_C, _TM_D, _TM_E, _TM_F
+    return (x * (a * x + c * b) + d * e) / (x * (a * x + b) + d * f) - e / f
+
+
+_WHITE_SCALE = float(1.0 / _u2(11.2))
+
+
+def _u2f(x_u32):
+    """u32 (< 2^31) -> f32; Mosaic lacks a direct uint32->float32 cast."""
+    return pltpu.bitcast(x_u32, jnp.int32).astype(jnp.float32)
+
+
+def _mix(x):
+    """murmur3 fmix32 on u32 vectors (rng.mix parity)."""
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(_M1)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(_M2)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def _hash_u32(seed, a, b, c):
+    """rng.hash_u32 parity (seed scalar u32; a,b,c broadcastable u32)."""
+    w = jnp.uint32(_WEYL)
+    h = _mix(seed + w * jnp.uint32(1))
+    h = _mix(h ^ (a + w * jnp.uint32(2)))
+    h = _mix(h ^ (b + w * jnp.uint32(3)))
+    h = _mix(h ^ (c + w * jnp.uint32(4)))
+    return h
+
+
+def _uniform(seed, a, b, c):
+    bits = _hash_u32(seed, a.astype(jnp.uint32), b.astype(jnp.uint32), jnp.uint32(c))
+    return _u2f(bits >> jnp.uint32(8)) * _INV_24
+
+
+def _radical2(pos_u32):
+    """Base-2 radical inverse = 32-bit reversal (sampling.py parity)."""
+    i = pos_u32
+    i = ((i >> jnp.uint32(16)) | (i << jnp.uint32(16))) & jnp.uint32(0xFFFFFFFF)
+    i = ((i & jnp.uint32(0x00FF00FF)) << jnp.uint32(8)) | (
+        (i & jnp.uint32(0xFF00FF00)) >> jnp.uint32(8)
+    )
+    i = ((i & jnp.uint32(0x0F0F0F0F)) << jnp.uint32(4)) | (
+        (i & jnp.uint32(0xF0F0F0F0)) >> jnp.uint32(4)
+    )
+    i = ((i & jnp.uint32(0x33333333)) << jnp.uint32(2)) | (
+        (i & jnp.uint32(0xCCCCCCCC)) >> jnp.uint32(2)
+    )
+    i = ((i & jnp.uint32(0x55555555)) << jnp.uint32(1)) | (
+        (i & jnp.uint32(0xAAAAAAAA)) >> jnp.uint32(1)
+    )
+    # Split u32 -> f32 via two exact 24-bit converts (full-width u32->f32
+    # conversion semantics differ across Mosaic versions).
+    hi = _u2f((i >> jnp.uint32(8)) & jnp.uint32(0xFFFFFF))
+    lo = _u2f(i & jnp.uint32(0xFF))
+    return hi * np.float32(2.0**-24) + lo * np.float32(2.0**-32)
+
+
+def _radical3(pos_u32):
+    """Base-3 radical inverse via an exact f32 digit loop.
+
+    Valid for pos < 2^20 (progressive spp tops out at ~41k): an f32
+    divide-by-3 with the +0.5 guard floors to the exact quotient there.
+    Accumulation order matches sampling.radical_inverse(3, .) bit for bit.
+    """
+    idx = _u2f(pos_u32)
+    result = jnp.zeros_like(idx)
+    scale = jnp.full_like(idx, np.float32(1.0 / 3.0))
+    for _ in range(13):  # 3^13 > 2^20
+        q = jnp.floor((idx + 0.5) * np.float32(1.0 / 3.0))
+        digit = idx - 3.0 * q
+        result = result + digit * scale
+        scale = scale * np.float32(1.0 / 3.0)
+        idx = q
+    return result
+
+
+def _atan(x):
+    """atan for |x| <= 1 via a degree-13 odd minimax polynomial
+    (|err| ~ 1e-7 rad)."""
+    x2 = x * x
+    p = np.float32(-0.0117212)
+    for c in (0.05265332, -0.11643287, 0.19354346, -0.33262348, 0.99997726):
+        p = p * x2 + np.float32(c)
+    return x * p
+
+
+def _atan2(y, x):
+    """Full-quadrant atan2 (Mosaic has no lowering).  Matches jnp.arctan2
+    conventions away from the axes; inputs of exactly (0, 0) return 0."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    hi = jnp.maximum(ax, ay)
+    lo = jnp.minimum(ax, ay)
+    r = lo / jnp.maximum(hi, 1e-30)
+    base = _atan(r)
+    base = jnp.where(ay > ax, np.float32(np.pi / 2.0) - base, base)
+    base = jnp.where(x < 0.0, np.float32(np.pi) - base, base)
+    return jnp.where(y < 0.0, -base, base)
+
+
+def _acos(x):
+    """arccos via the A&S 4.4.46 7-term polynomial (|err| <= 2e-8 rad);
+    Mosaic has no acos lowering.  Input must be within [-1, 1]."""
+    ax = jnp.abs(x)
+    p = np.float32(-0.0012624911)
+    for c in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+              0.0889789874, -0.2145988016, 1.5707963050):
+        p = p * ax + np.float32(c)
+    r = p * jnp.sqrt(jnp.maximum(1.0 - ax, 0.0))
+    return jnp.where(x < 0.0, np.float32(np.pi) - r, r)
+
+
+def _sincos(x):
+    """(sin, cos) for x in [0, 2*pi) via degree-6 Chebyshev-style minimax
+    on cos over [-pi/4, pi/4] + quadrant folding (|err| ~ 1e-7)."""
+    two_over_pi = np.float32(2.0 / np.pi)
+    k = jnp.floor(x * two_over_pi + 0.5)
+    # Payne-Hanek not needed: x < 2*pi.
+    r = x - k * np.float32(np.pi / 2.0)
+    k = k.astype(jnp.int32) & 3
+    r2 = r * r
+    # cos(r), sin(r) on [-pi/4, pi/4]
+    c = np.float32(-2.605e-07)
+    for cc in (2.47609e-05, -1.3888397e-03, 4.16666418e-02, -4.999999963e-01, 1.0):
+        c = c * r2 + np.float32(cc)
+    s = np.float32(-2.50507e-08)
+    for cc in (2.7526094e-06, -1.9840874e-04, 8.33333187e-03, -1.66666666e-01, 1.0):
+        s = s * r2 + np.float32(cc)
+    s = s * r
+    k0 = k == 0
+    k1 = k == 1
+    k2 = k == 2
+    sin = jnp.where(k0, s, jnp.where(k1, c, jnp.where(k2, -s, -c)))
+    cos = jnp.where(k0, c, jnp.where(k1, -s, jnp.where(k2, -c, s)))
+    return sin, cos
+
+
+def _perez(coef_ref, base, cos_theta, gamma, cos_gamma):
+    a = coef_ref[0, base + 0]
+    b = coef_ref[0, base + 1]
+    c = coef_ref[0, base + 2]
+    d = coef_ref[0, base + 3]
+    e = coef_ref[0, base + 4]
+    return (1.0 + a * jnp.exp(b / jnp.maximum(cos_theta, 0.01))) * (
+        1.0 + c * jnp.exp(d * gamma) + e * cos_gamma * cos_gamma
+    )
+
+
+def _mega_kernel(
+    pf_ref,  # f32[1, _P_F32_LEN] SMEM scalar params
+    pi_ref,  # i32[1, _PI_I32_LEN] SMEM scalar params
+    sph_ref,  # f32[S_pad, 4] VMEM
+    tri_ref,  # f32[T_pad, 12] VMEM
+    table_ref,  # f32[F, P_pad] VMEM shade table
+    atlas_ref,  # f32[3*AH, AW_pad] channel-planar image atlas
+    out_ref,  # f32[3*NQ, 256] per-tile radiance sums
+    sf,  # f32[16, R] scratch: rays rows 0..7, throughput rows 8..10
+    si,  # i32[8, R] scratch: 0 gid, 1 depth, 2 active, 3 pix_local
+    acc,  # f32[3*NQ, 256] scratch accumulator
+    *,
+    lanes,
+    tile_pixels,
+    spp,
+    width,
+    n_global,
+    n_spheres,
+    n_sph_chunks,
+    n_tri_chunks,
+    p_pad,
+    max_depth,
+    t_min,
+    t_max,
+    origin_offset,
+    rr_clamp,
+    backface_cull,
+    shared_halton_jitter,
+    use_defocus,
+    cos_gamma_as_angle,
+    packed_select,
+    has_images,
+    atlas_h,
+    uv_bbox_remap,
+):
+    R = lanes
+    NP = tile_pixels
+    NQ = NP // 256
+    NQP = max(-(-NQ // 8) * 8, 8)  # Mosaic block rows must divide by 8
+    log2np = int(np.log2(NP))
+    assert 1 << log2np == NP
+    total_work = NP * spp
+    f32 = jnp.float32
+
+    tile = pl.program_id(0)
+    seed = pi_ref[0, _PI_SEED].astype(jnp.uint32)
+    sample_off = pi_ref[0, _PI_SAMPLE_OFF]
+    pix_base = pi_ref[0, _PI_PIX_BASE] + tile * NP
+
+    # --- loop-invariant matrices -------------------------------------------
+    lt = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+    ).astype(f32)  # LT[l, j] = l <= j : row-vector @ LT = inclusive prefix
+    er_iota = jax.lax.broadcasted_iota(jnp.int32, (256, R), 0)
+    eq_iota = jax.lax.broadcasted_iota(jnp.int32, (NQP, R), 0)
+    oh_iota = jax.lax.broadcasted_iota(jnp.int32, (p_pad, R), 0)
+    sid_iota = jax.lax.broadcasted_iota(jnp.int32, (SPHERE_CHUNK, R), 0)
+    tid_iota = jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, R), 0)
+    if has_images:
+        ah_iota = jax.lax.broadcasted_iota(jnp.int32, (atlas_h, R), 0)
+        aw_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (atlas_ref.shape[1], R), 0
+        )
+
+    id_bits = max(int(np.ceil(np.log2(max(p_pad, 2)))), 1)
+    id_mask = (1 << id_bits) - 1
+    big_key = (int(np.float32(BIG).view(np.int32)) & ~id_mask) if True else 0
+
+    # --- state init --------------------------------------------------------
+    sf[0:3, :] = jnp.zeros((3, R), f32)  # origin
+    sf[3:6, :] = jnp.ones((3, R), f32)  # direction (non-zero: 1/a finite)
+    sf[6:11, :] = jnp.zeros((5, R), f32)  # pad rows + throughput
+    si[:, :] = jnp.zeros((8, R), jnp.int32)
+    acc[:, :] = jnp.zeros((3 * NQP, 256), f32)
+
+    # --- camera / sky scalars ---------------------------------------------
+    p00x, p00y, p00z = pf_ref[0, _P_PIX00], pf_ref[0, _P_PIX00 + 1], pf_ref[0, _P_PIX00 + 2]
+    dux, duy, duz = pf_ref[0, _P_DU], pf_ref[0, _P_DU + 1], pf_ref[0, _P_DU + 2]
+    dvx, dvy, dvz = pf_ref[0, _P_DV], pf_ref[0, _P_DV + 1], pf_ref[0, _P_DV + 2]
+    dkux, dkuy, dkuz = pf_ref[0, _P_DKU], pf_ref[0, _P_DKU + 1], pf_ref[0, _P_DKU + 2]
+    dkvx, dkvy, dkvz = pf_ref[0, _P_DKV], pf_ref[0, _P_DKV + 1], pf_ref[0, _P_DKV + 2]
+    cx_, cy_, cz_ = pf_ref[0, _P_CENTER], pf_ref[0, _P_CENTER + 1], pf_ref[0, _P_CENTER + 2]
+    sunx, suny, sunz = pf_ref[0, _P_SUN], pf_ref[0, _P_SUN + 1], pf_ref[0, _P_SUN + 2]
+    zy, zx, zyc = pf_ref[0, _P_ZY], pf_ref[0, _P_ZX], pf_ref[0, _P_ZYC]
+
+    inv_w = np.float32(1.0 / width)
+
+    def div_mod_width(pix):
+        """(pix // width, pix % width) via exact-f32 division + correction."""
+        pf = pix.astype(f32)
+        q = jnp.floor(pf * inv_w).astype(jnp.int32)
+        r = pix - q * width
+        under = r < 0
+        q = jnp.where(under, q - 1, q)
+        r = jnp.where(under, r + width, r)
+        over = r >= width
+        q = jnp.where(over, q + 1, q)
+        r = jnp.where(over, r - width, r)
+        return q, r
+
+    def body(carry):
+        next_work, _ = carry
+
+        # ---- claims -------------------------------------------------------
+        active = si[2:3, :] > 0
+        idle = ~active
+        # Default precision is fine HERE: both operands are exact 0/1 (bf16
+        # representable) and the MXU accumulates in f32.
+        incl = jnp.dot(
+            jnp.where(idle, 1.0, 0.0), lt, preferred_element_type=f32
+        )  # [1,R] inclusive idle count
+        claim_id = next_work + incl.astype(jnp.int32) - 1
+        claim = idle & (claim_id < total_work)
+        n_claimed = jnp.sum(jnp.where(claim, 1, 0))
+        cw = jnp.maximum(claim_id, 0)
+
+        pix_l = cw & (NP - 1)
+        samp = (cw >> log2np) + sample_off
+        pix = pix_base + pix_l
+        gwork = samp * n_global + pix
+
+        # Halton jitter (sampling.halton_pair parity: 1-based position).
+        posu = (samp + 1).astype(jnp.uint32)
+        off_u = _radical2(posu)
+        off_v = _radical3(posu)
+        if not shared_halton_jitter:
+            su = _uniform(seed, pix, jnp.zeros_like(pix), 5)
+            sv = _uniform(seed, pix, jnp.zeros_like(pix), 6)
+            off_u = off_u + su
+            off_u = off_u - jnp.floor(off_u)
+            off_v = off_v + sv
+            off_v = off_v - jnp.floor(off_v)
+
+        py_i, px_i = div_mod_width(pix)
+        fx = px_i.astype(f32) + off_u
+        fy = py_i.astype(f32) + off_v
+        sx = p00x + fx * dux + fy * dvx
+        sy = p00y + fx * duy + fy * dvy
+        sz = p00z + fx * duz + fy * dvz
+        if use_defocus:
+            r_d = jnp.sqrt(_uniform(seed, gwork, jnp.zeros_like(pix), 21))
+            th = _uniform(seed, gwork, jnp.zeros_like(pix), 22) * np.float32(2.0 * np.pi)
+            sth, cth = _sincos(th)
+            dskx = r_d * cth
+            dsky = r_d * sth
+            nox = cx_ + dskx * dkux + dsky * dkvx
+            noy = cy_ + dskx * dkuy + dsky * dkvy
+            noz = cz_ + dskx * dkuz + dsky * dkvz
+        else:
+            nox = jnp.full_like(sx, 0.0) + cx_
+            noy = jnp.full_like(sx, 0.0) + cy_
+            noz = jnp.full_like(sx, 0.0) + cz_
+
+        cm = claim
+        ox = jnp.where(cm, nox, sf[0:1, :])
+        oy = jnp.where(cm, noy, sf[1:2, :])
+        oz = jnp.where(cm, noz, sf[2:3, :])
+        dx = jnp.where(cm, sx - nox, sf[3:4, :])
+        dy = jnp.where(cm, sy - noy, sf[4:5, :])
+        dz = jnp.where(cm, sz - noz, sf[5:6, :])
+        tpr = jnp.where(cm, 1.0, sf[8:9, :])
+        tpg = jnp.where(cm, 1.0, sf[9:10, :])
+        tpb = jnp.where(cm, 1.0, sf[10:11, :])
+        gid = jnp.where(cm, gwork, si[0:1, :])
+        depth = jnp.where(cm, 0, si[1:2, :])
+        active = active | claim
+        pixl_s = jnp.where(cm, pix_l, si[3:4, :])
+
+        # ---- intersect ----------------------------------------------------
+        # Dots stay on the VPU: an MXU [C,3]@[3,R] contraction at f32
+        # precision is pipeline-latency-bound (HIGHEST = 6-9 passes of a
+        # K=3 matmul) and measured SLOWER than the broadcast form, while
+        # bf16 inputs (the TPU dot default) corrupt the geometry.
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+
+        def sph_chunk(ci, best):
+            sph = sph_ref[pl.ds(ci * SPHERE_CHUNK, SPHERE_CHUNK), :]  # [C,4]
+            cx = sph[:, 0:1]
+            cy = sph[:, 1:2]
+            cz = sph[:, 2:3]
+            rad = sph[:, 3:4]
+            ocx = cx - ox  # [C,R] broadcast
+            ocy = cy - oy
+            ocz = cz - oz
+            h = dx * ocx + dy * ocy + dz * ocz
+            c_ = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+            disc = h * h - a * c_
+            sd = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = (h - sd) * inv_a
+            t1 = (h + sd) * inv_a
+            t_cand = jnp.where(t0 >= t_min, t0, t1)
+            valid = (disc >= 0.0) & (rad > 0.0) & (t_cand >= t_min) & (t_cand < t_max)
+            t_cand = jnp.where(valid, t_cand, BIG)
+            if packed_select:
+                key = (pltpu.bitcast(t_cand, jnp.int32) & ~id_mask) | (
+                    sid_iota + ci * SPHERE_CHUNK
+                )
+                return jnp.minimum(best, jnp.min(key, axis=0, keepdims=True))
+            bt, bi = best
+            cmin = jnp.min(t_cand, axis=0, keepdims=True)
+            ids = sid_iota + ci * SPHERE_CHUNK
+            sel = jnp.min(
+                jnp.where(t_cand == cmin, ids, jnp.int32(2**30)), axis=0, keepdims=True
+            )
+            better = cmin < bt
+            return (jnp.where(better, cmin, bt), jnp.where(better, sel, bi))
+
+        def tri_chunk(ci, best):
+            tri = tri_ref[pl.ds(ci * TRI_CHUNK, TRI_CHUNK), :]  # [C,12]
+            ax_, ay_, az_ = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+            e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
+            e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
+            live = tri[:, 9:10]
+            uvx = dy * e2z - dz * e2y
+            uvy = dz * e2x - dx * e2z
+            uvz = dx * e2y - dy * e2x
+            det = e1x * uvx + e1y * uvy + e1z * uvz
+            if backface_cull:
+                det_ok = det > 1e-7
+            else:
+                det_ok = jnp.abs(det) > 1e-7
+            inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+            aox = ox - ax_
+            aoy = oy - ay_
+            aoz = oz - az_
+            u = (aox * uvx + aoy * uvy + aoz * uvz) * inv_det
+            vvx = aoy * e1z - aoz * e1y
+            vvy = aoz * e1x - aox * e1z
+            vvz = aox * e1y - aoy * e1x
+            v = (dx * vvx + dy * vvy + dz * vvz) * inv_det
+            tt = (e2x * vvx + e2y * vvy + e2z * vvz) * inv_det
+            ok = (
+                det_ok
+                & (live > 0.5)
+                & (u >= 0.0)
+                & (u <= 1.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (tt >= t_min)
+                & (tt < t_max)
+                & (tt > 1e-7)
+            )
+            t_cand = jnp.where(ok, tt, BIG)
+            ids = tid_iota + ci * TRI_CHUNK + n_spheres
+            if packed_select:
+                key = (pltpu.bitcast(t_cand, jnp.int32) & ~id_mask) | ids
+                return jnp.minimum(best, jnp.min(key, axis=0, keepdims=True))
+            bt, bi = best
+            cmin = jnp.min(t_cand, axis=0, keepdims=True)
+            sel = jnp.min(
+                jnp.where(t_cand == cmin, ids, jnp.int32(2**30)), axis=0, keepdims=True
+            )
+            better = cmin < bt
+            return (jnp.where(better, cmin, bt), jnp.where(better, sel, bi))
+
+        if packed_select:
+            best = jnp.full((1, R), big_key | id_mask, jnp.int32)
+            best = jax.lax.fori_loop(0, n_sph_chunks, sph_chunk, best) if n_sph_chunks else best
+            best = jax.lax.fori_loop(0, n_tri_chunks, tri_chunk, best) if n_tri_chunks else best
+            hit = best < big_key
+            t = pltpu.bitcast(best & ~id_mask, f32)
+            prim = best & id_mask
+        else:
+            bt = jnp.full((1, R), BIG, f32)
+            bi = jnp.full((1, R), -1, jnp.int32)
+            carry2 = (bt, bi)
+            carry2 = (
+                jax.lax.fori_loop(0, n_sph_chunks, sph_chunk, carry2)
+                if n_sph_chunks
+                else carry2
+            )
+            carry2 = (
+                jax.lax.fori_loop(0, n_tri_chunks, tri_chunk, carry2)
+                if n_tri_chunks
+                else carry2
+            )
+            t, prim = carry2
+            hit = t < BIG
+            prim = jnp.where(hit, prim, 0)
+
+        # ---- shade-table fetch (one-hot MXU matmul) ----------------------
+        onehot = (oh_iota == jnp.where(hit, prim, 0)).astype(f32)  # [P,R]
+        f = jnp.dot(table_ref[:, :], onehot, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)  # [F,R]
+
+        def row(i):
+            return f[i : i + 1, :]
+
+        FS = fast_shade
+        ts = jnp.where(hit, t, 0.0)
+        px = ox + ts * dx
+        py = oy + ts * dy
+        pz = oz + ts * dz
+
+        is_sphere = row(FS.F_IS_SPHERE) > 0.5
+        inv_r = 1.0 / jnp.maximum(row(FS.F_RADIUS), 1e-20)
+        snx = (px - row(FS.F_AX)) * inv_r
+        sny = (py - row(FS.F_AY)) * inv_r
+        snz = (pz - row(FS.F_AZ)) * inv_r
+        d_dot_sn = dx * snx + dy * sny + dz * snz
+        s_front = d_dot_sn < 0.0
+        sgn = jnp.where(s_front, 1.0, -1.0)
+        snx, sny, snz = snx * sgn, sny * sgn, snz * sgn
+
+        tnx, tny, tnz = row(FS.F_NX), row(FS.F_NY), row(FS.F_NZ)
+        t_front = dx * tnx + dy * tny + dz * tnz <= 0.0
+
+        nx = jnp.where(is_sphere, snx, tnx)
+        ny = jnp.where(is_sphere, sny, tny)
+        nz = jnp.where(is_sphere, snz, tnz)
+        # Boolean select spelled as mask algebra: Mosaic can't lower a
+        # select_n over i1 vectors ("unsupported target bitwidth").
+        front = (is_sphere & s_front) | (~is_sphere & t_front)
+
+        # Texture: solid/checker only (image atlases are gated off in the
+        # megakernel eligibility check; texture.rs:44-74 parity).
+        tex_kind = row(FS.F_TEX_KIND)
+        inv_scale = row(FS.F_INV_SCALE)
+        cells = (
+            jnp.floor(inv_scale * px).astype(jnp.int32)
+            + jnp.floor(inv_scale * py).astype(jnp.int32)
+            + jnp.floor(inv_scale * pz).astype(jnp.int32)
+        )
+        is_even = (cells & 1) == 0
+        use_even = (tex_kind < 0.5) | is_even
+        tr = jnp.where(use_even, row(FS.F_CE + 0), row(FS.F_CO + 0))
+        tg = jnp.where(use_even, row(FS.F_CE + 1), row(FS.F_CO + 1))
+        tb = jnp.where(use_even, row(FS.F_CE + 2), row(FS.F_CO + 2))
+
+        if has_images:
+            # UV (sphere: hittable.rs:367-406 via fast_shade's scalarized
+            # form; triangle barycentric recompute hittable.rs:433-452).
+            fx_, fy_, fz_ = row(FS.F_NX), row(FS.F_NY), row(FS.F_NZ)
+            pitch = _atan2(fz_, jnp.sqrt(fx_ * fx_ + fy_ * fy_ + 1e-20))
+            yaw = _atan2(fy_, fx_)
+            syw, cyw = _sincos(jnp.where(yaw < 0.0, yaw + np.float32(2.0 * np.pi), yaw))
+            qx = cyw * snx + syw * sny
+            qy = -syw * snx + cyw * sny
+            sp_, cp_ = _sincos(
+                jnp.where(pitch < 0.0, pitch + np.float32(2.0 * np.pi), pitch)
+            )
+            rx = cp_ * qx + sp_ * snz
+            ry = qy
+            rz = -sp_ * qx + cp_ * snz
+            at_pole = rx * rx + ry * ry < 1e-12
+            rx = jnp.where(at_pole, 1.0, rx)
+            theta = _acos(jnp.clip(-rz, -1.0 + 1e-7, 1.0 - 1e-7))
+            phi = _atan2(ry, rx) + np.float32(np.pi)
+            two_pi = np.float32(2.0 * np.pi)
+            phi_m = phi - jnp.floor(phi / two_pi) * two_pi
+            s_u = phi_m * np.float32(0.5 / np.pi)
+            s_v = theta * np.float32(1.0 / np.pi)
+
+            e1x_ = row(FS.F_BX) - row(FS.F_AX)
+            e1y_ = row(FS.F_BY) - row(FS.F_AY)
+            e1z_ = row(FS.F_BZ) - row(FS.F_AZ)
+            e2x_ = row(FS.F_CX) - row(FS.F_AX)
+            e2y_ = row(FS.F_CY) - row(FS.F_AY)
+            e2z_ = row(FS.F_CZ) - row(FS.F_AZ)
+            uvx_ = dy * e2z_ - dz * e2y_
+            uvy_ = dz * e2x_ - dx * e2z_
+            uvz_ = dx * e2y_ - dy * e2x_
+            det_ = e1x_ * uvx_ + e1y_ * uvy_ + e1z_ * uvz_
+            inv_det_ = 1.0 / jnp.where(jnp.abs(det_) > 1e-20, det_, 1.0)
+            aox_ = ox - row(FS.F_AX)
+            aoy_ = oy - row(FS.F_AY)
+            aoz_ = oz - row(FS.F_AZ)
+            bu = (aox_ * uvx_ + aoy_ * uvy_ + aoz_ * uvz_) * inv_det_
+            vvx_ = aoy_ * e1z_ - aoz_ * e1y_
+            vvy_ = aoz_ * e1x_ - aox_ * e1z_
+            vvz_ = aox_ * e1y_ - aoy_ * e1x_
+            bv = (dx * vvx_ + dy * vvy_ + dz * vvz_) * inv_det_
+            ua_u, ua_v = row(FS.F_UVA + 0), row(FS.F_UVA + 1)
+            ub_u, ub_v = row(FS.F_UVA + 2), row(FS.F_UVA + 3)
+            uc_u, uc_v = row(FS.F_UVA + 4), row(FS.F_UVA + 5)
+            if uv_bbox_remap:
+                lo_u = jnp.minimum(jnp.minimum(ua_u, ub_u), uc_u)
+                hi_u = jnp.maximum(jnp.maximum(ua_u, ub_u), uc_u)
+                lo_v = jnp.minimum(jnp.minimum(ua_v, ub_v), uc_v)
+                hi_v = jnp.maximum(jnp.maximum(ua_v, ub_v), uc_v)
+                t_u = lo_u + (hi_u - lo_u) * bu
+                t_v = lo_v + (hi_v - lo_v) * bv
+            else:
+                w0 = 1.0 - bu - bv
+                t_u = w0 * ua_u + bu * ub_u + bv * uc_u
+                t_v = w0 * ua_v + bu * ub_v + bv * uc_v
+
+            u_ = jnp.where(is_sphere, s_u, t_u)
+            v_ = jnp.where(is_sphere, s_v, t_v)
+
+            # Atlas texel fetch: row one-hot matmul selects columns, a
+            # column mask-reduce picks the lane's texel (texture.rs:107-117
+            # nearest + clamp semantics via the shade-table rect).
+            w_img = jnp.maximum(row(FS.F_RECT + 2), 1.0)
+            h_img = jnp.maximum(row(FS.F_RECT + 3), 1.0)
+            ix = (jnp.clip(u_, 0.0, 1.0) * (w_img - 1.0)).astype(jnp.int32)
+            iy = (jnp.clip(v_, 0.0, 1.0) * (h_img - 1.0)).astype(jnp.int32)
+            aw_pad = atlas_ref.shape[1]
+            ax2 = jnp.clip(row(FS.F_RECT + 0).astype(jnp.int32) + ix, 0, aw_pad - 1)
+            ay2 = jnp.clip(row(FS.F_RECT + 1).astype(jnp.int32) + iy, 0, atlas_h - 1)
+            rowsel = (ah_iota == ay2).astype(f32)  # [AH, R]
+            colmask = (aw_iota == ax2).astype(f32)  # [AWp, R]
+            ddr = (((0,), (0,)), ((), ()))
+            is_image = tex_kind > 1.5
+            texels = []
+            for ch in range(3):
+                plane = atlas_ref[ch * atlas_h : (ch + 1) * atlas_h, :]
+                sel = jax.lax.dot_general(
+                    plane, rowsel, ddr, preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [AWp, R]
+                texels.append(jnp.sum(colmask * sel, axis=0, keepdims=True))
+            tr = jnp.where(is_image, texels[0], tr)
+            tg = jnp.where(is_image, texels[1], tg)
+            tb = jnp.where(is_image, texels[2], tb)
+
+        # Scatter draws (rng purposes 3..10, fast_shade parity).
+        z = jnp.zeros_like(gid)
+        ux3 = _uniform(seed, gid, depth, 3) * 2.0 - 1.0
+        uy3 = _uniform(seed, gid, depth, 4) * 2.0 - 1.0
+        uz3 = _uniform(seed, gid, depth, 5) * 2.0 - 1.0
+        inv_n1 = 1.0 / jnp.maximum(jnp.sqrt(ux3 * ux3 + uy3 * uy3 + uz3 * uz3), 1e-12)
+        r1x, r1y, r1z = ux3 * inv_n1, uy3 * inv_n1, uz3 * inv_n1
+        vx3 = _uniform(seed, gid, depth, 6) * 2.0 - 1.0
+        vy3 = _uniform(seed, gid, depth, 7) * 2.0 - 1.0
+        vz3 = _uniform(seed, gid, depth, 8) * 2.0 - 1.0
+        inv_n2 = 1.0 / jnp.maximum(jnp.sqrt(vx3 * vx3 + vy3 * vy3 + vz3 * vz3), 1e-12)
+        r2x, r2y, r2z = vx3 * inv_n2, vy3 * inv_n2, vz3 * inv_n2
+        noise = _uniform(seed, gid, depth, 9)
+
+        lx, ly, lz = nx + r1x, ny + r1y, nz + r1z
+        near_zero = (
+            (jnp.abs(lx) < 3.45e-4) & (jnp.abs(ly) < 3.45e-4) & (jnp.abs(lz) < 3.45e-4)
+        )
+        lx = jnp.where(near_zero, nx, lx)
+        ly = jnp.where(near_zero, ny, ly)
+        lz = jnp.where(near_zero, nz, lz)
+
+        d_dot_n = dx * nx + dy * ny + dz * nz
+        fuzz = row(FS.F_FUZZ)
+        mx = dx - 2.0 * d_dot_n * nx + fuzz * r2x
+        my = dy - 2.0 * d_dot_n * ny + fuzz * r2y
+        mz = dz - 2.0 * d_dot_n * nz + fuzz * r2z
+
+        inv_dn = 1.0 / jnp.maximum(jnp.sqrt(a), 1e-20)
+        udx, udy, udz = dx * inv_dn, dy * inv_dn, dz * inv_dn
+        ior = row(FS.F_IOR)
+        ri = jnp.where(front, 1.0 / ior, ior)
+        cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        cannot = ri * sin_t > 1.0
+        r0 = (1.0 - ri) / (1.0 + ri)
+        r0 = r0 * r0
+        omc = 1.0 - cos_t
+        omc2 = omc * omc
+        reflectance = r0 + (1.0 - r0) * omc2 * omc2 * omc
+        choose_reflect = cannot | (reflectance > noise)
+        rpx = (udx + nx * cos_t) * ri
+        rpy = (udy + ny * cos_t) * ri
+        rpz = (udz + nz * cos_t) * ri
+        perp_sq = rpx * rpx + rpy * rpy + rpz * rpz
+        par = -jnp.sqrt(jnp.maximum(jnp.abs(1.0 - perp_sq), 1e-12))
+        fzx = rpx + par * nx + fuzz * r2x
+        fzy = rpy + par * ny + fuzz * r2y
+        fzz = rpz + par * nz + fuzz * r2z
+        ud_dot_n = udx * nx + udy * ny + udz * nz
+        rfx = udx - 2.0 * ud_dot_n * nx
+        rfy = udy - 2.0 * ud_dot_n * ny
+        rfz = udz - 2.0 * ud_dot_n * nz
+        ddx = jnp.where(choose_reflect, rfx, fzx)
+        ddy = jnp.where(choose_reflect, rfy, fzy)
+        ddz = jnp.where(choose_reflect, rfz, fzz)
+        inv_dd = 1.0 / jnp.maximum(jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz), 1e-20)
+        ddx, ddy, ddz = ddx * inv_dd, ddy * inv_dd, ddz * inv_dd
+
+        kind = row(FS.F_MAT_KIND)
+        is_lam = kind < 0.5
+        is_metal = (kind > 0.5) & (kind < 1.5)
+        is_diel = (kind > 1.5) & (kind < 2.5)
+        is_emissive = kind > 2.5
+        new_dx = jnp.where(is_lam, lx, jnp.where(is_metal, mx, ddx))
+        new_dy = jnp.where(is_lam, ly, jnp.where(is_metal, my, ddy))
+        new_dz = jnp.where(is_lam, lz, jnp.where(is_metal, mz, ddz))
+        att_r = jnp.where(is_diel, 1.0, tr)
+        att_g = jnp.where(is_diel, 1.0, tg)
+        att_b = jnp.where(is_diel, 1.0, tb)
+
+        p_rr = jnp.clip(jnp.maximum(jnp.maximum(att_r, att_g), att_b), 0.0, rr_clamp)
+        survive = _uniform(seed, gid, depth, 10) < p_rr
+        inv_p = 1.0 / jnp.maximum(p_rr, 1e-12)
+
+        scale = jnp.maximum(
+            jnp.maximum(jnp.abs(px), jnp.maximum(jnp.abs(py), jnp.abs(pz))), 1.0
+        )
+        side = jnp.sign(new_dx * nx + new_dy * ny + new_dz * nz)
+        off = origin_offset * scale * side
+
+        # ---- sky (Perez; sky.py parity incl. the cos-as-angle quirk) -----
+        sdx, sdy, sdz = udx, udy, udz
+        cos_theta = jnp.clip(sdz, 0.01, 1.0)
+        cos_gamma = jnp.clip(sdx * sunx + sdy * suny + sdz * sunz, -1.0, 1.0)
+        if cos_gamma_as_angle:
+            gamma = cos_gamma
+            _, cg2 = _sincos(jnp.where(gamma < 0.0, gamma + np.float32(2.0 * np.pi), gamma))
+            cos_gamma = cg2
+        else:
+            gamma = _acos(jnp.clip(cos_gamma, -1.0 + 1e-6, 1.0 - 1e-6))
+        y_lum = jnp.maximum(
+            _perez(pf_ref, _P_COEF_Y, cos_theta, gamma, cos_gamma) * zy, 0.0
+        )
+        x_c = _perez(pf_ref, _P_COEF_X, cos_theta, gamma, cos_gamma) * zx
+        y_c = jnp.maximum(_perez(pf_ref, _P_COEF_YC, cos_theta, gamma, cos_gamma) * zyc, 1e-6)
+        big_x = x_c / y_c * y_lum
+        big_z = (1.0 - x_c - y_c) / y_c * y_lum
+        m = sky_mod._XYZ_TO_SRGB
+        sky_r = jnp.maximum(m[0, 0] * big_x + m[0, 1] * y_lum + m[0, 2] * big_z, 0.0)
+        sky_g = jnp.maximum(m[1, 0] * big_x + m[1, 1] * y_lum + m[1, 2] * big_z, 0.0)
+        sky_b = jnp.maximum(m[2, 0] * big_x + m[2, 1] * y_lum + m[2, 2] * big_z, 0.0)
+        ws = np.float32(_WHITE_SCALE)
+        tm = lambda v: jnp.maximum(ws * _u2(1.1 * v), 0.0)
+        sky_r, sky_g, sky_b = tm(sky_r), tm(sky_g), tm(sky_b)
+
+        # ---- classify + deposit ------------------------------------------
+        miss = active & ~hit
+        emis = active & hit & is_emissive
+        cont = active & hit & survive & (depth < max_depth) & ~is_emissive
+
+        dep = miss | emis
+        dep_r = jnp.where(dep, tpr * jnp.where(miss, sky_r, tr), 0.0)
+        dep_g = jnp.where(dep, tpg * jnp.where(miss, sky_g, tg), 0.0)
+        dep_b = jnp.where(dep, tpb * jnp.where(miss, sky_b, tb), 0.0)
+
+        q = pixl_s >> 8
+        r_ = pixl_s & 255
+        e_q = (eq_iota == q).astype(f32)  # [NQP, R] (pad rows never match)
+        e_rt = (er_iota == r_).astype(f32)  # [256, R]
+        ddn = (((1,), (1,)), ((), ()))
+        acc[0:NQP, :] += jax.lax.dot_general(
+            e_q * dep_r, e_rt, ddn, preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc[NQP : 2 * NQP, :] += jax.lax.dot_general(
+            e_q * dep_g, e_rt, ddn, preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc[2 * NQP : 3 * NQP, :] += jax.lax.dot_general(
+            e_q * dep_b, e_rt, ddn, preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        # ---- advance state ------------------------------------------------
+        sf[0:1, :] = jnp.where(cont, px + off * nx, ox)
+        sf[1:2, :] = jnp.where(cont, py + off * ny, oy)
+        sf[2:3, :] = jnp.where(cont, pz + off * nz, oz)
+        sf[3:4, :] = jnp.where(cont, new_dx, dx)
+        sf[4:5, :] = jnp.where(cont, new_dy, dy)
+        sf[5:6, :] = jnp.where(cont, new_dz, dz)
+        sf[8:9, :] = jnp.where(cont, tpr * att_r * inv_p, tpr)
+        sf[9:10, :] = jnp.where(cont, tpg * att_g * inv_p, tpg)
+        sf[10:11, :] = jnp.where(cont, tpb * att_b * inv_p, tpb)
+        si[0:1, :] = gid
+        si[1:2, :] = depth + 1
+        si[2:3, :] = jnp.where(cont, 1, 0)
+        si[3:4, :] = pixl_s
+
+        n_active = jnp.sum(jnp.where(cont, 1, 0))
+        return (next_work + n_claimed, n_active)
+
+    def cond(carry):
+        next_work, n_active = carry
+        return (next_work < total_work) | (n_active > 0)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    out_ref[:, :] = acc[:, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spp",
+        "width",
+        "n_global",
+        "n_spheres",
+        "n_sph_chunks",
+        "n_tri_chunks",
+        "max_depth",
+        "t_min",
+        "t_max",
+        "origin_offset",
+        "rr_clamp",
+        "backface_cull",
+        "shared_halton_jitter",
+        "use_defocus",
+        "cos_gamma_as_angle",
+        "packed_select",
+        "has_images",
+        "uv_bbox_remap",
+        "lanes",
+        "tile_pixels",
+        "n_tiles",
+        "interpret",
+    ),
+)
+def _mega_call(
+    sph_packed,
+    tri_packed,
+    shade_table,
+    atlas_planar,
+    pf,
+    pi,
+    *,
+    spp,
+    width,
+    n_global,
+    n_spheres,
+    n_sph_chunks,
+    n_tri_chunks,
+    max_depth,
+    t_min,
+    t_max,
+    origin_offset,
+    rr_clamp,
+    backface_cull,
+    shared_halton_jitter,
+    use_defocus,
+    cos_gamma_as_angle,
+    packed_select,
+    has_images,
+    uv_bbox_remap,
+    lanes,
+    tile_pixels,
+    n_tiles,
+    interpret,
+):
+    nq = tile_pixels // 256
+    nqp = max(-(-nq // 8) * 8, 8)  # padded per-channel rows (see _mega_kernel)
+    atlas_h = atlas_planar.shape[0] // 3
+    kernel = functools.partial(
+        _mega_kernel,
+        lanes=lanes,
+        tile_pixels=tile_pixels,
+        spp=spp,
+        width=width,
+        n_global=n_global,
+        n_spheres=n_spheres,
+        n_sph_chunks=n_sph_chunks,
+        n_tri_chunks=n_tri_chunks,
+        p_pad=shade_table.shape[1],
+        max_depth=max_depth,
+        t_min=t_min,
+        t_max=t_max,
+        origin_offset=origin_offset,
+        rr_clamp=rr_clamp,
+        backface_cull=backface_cull,
+        shared_halton_jitter=shared_halton_jitter,
+        use_defocus=use_defocus,
+        cos_gamma_as_angle=cos_gamma_as_angle,
+        packed_select=packed_select,
+        has_images=has_images,
+        atlas_h=atlas_h,
+        uv_bbox_remap=uv_bbox_remap,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, _P_F32_LEN), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _PI_I32_LEN), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(sph_packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri_packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(shade_table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(atlas_planar.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3 * nqp, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 3 * nqp, 256), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((16, lanes), jnp.float32),
+            pltpu.VMEM((8, lanes), jnp.int32),
+            pltpu.VMEM((3 * nqp, 256), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pf, pi, sph_packed, tri_packed, shade_table, atlas_planar)
+    # [tiles*3NQP, 256] -> drop channel pad rows -> [3, tiles*NP]
+    out = out.reshape(n_tiles, 3, nqp, 256)[:, :, :nq, :]
+    out = jnp.transpose(out, (1, 0, 2, 3)).reshape(3, n_tiles * tile_pixels)
+    return out.T
+
+
+def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
+    """True when the megakernel can render this scene (flat brute force,
+    packed shade table, no image-atlas gathers)."""
+    from rt_tpu.wavefront import MAX_FAST_TRIANGLES
+
+    atlas_ok = (not scene.has_image_textures) or (
+        scene.atlas.shape[0] * max(scene.atlas.shape[1], 128) * 12 <= 2 << 20
+    )  # channel-planar atlas must stay VMEM-resident (~2 MB budget)
+    return (
+        scene.shade_table is not None
+        and atlas_ok
+        and scene.sky.hw_params is None  # H-W sky not yet ported in-kernel
+        and scene.clusters is None
+        and scene.num_prims <= 4096
+        and scene.num_triangles <= MAX_FAST_TRIANGLES
+        and scene.sph_packed is not None
+        and scene.tri_packed is not None
+    )
+
+
+def render_megakernel(
+    scene: SceneData,
+    camera: Camera,
+    cfg: RenderConfig,
+    spp: int,
+    sample_offset,
+    key: jax.Array,
+    *,
+    pixel_base: int = 0,
+    n_pixels: int | None = None,
+    lanes: int = LANES,
+    tile_pixels: int = TILE_PIXELS,
+    packed_select: bool | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Mean radiance f32[n_pixels, 3] for the contiguous pixel range
+    [pixel_base, pixel_base + n_pixels) — megakernel analog of
+    wavefront.render_wavefront for contiguous pixel sets.
+
+    Must be called OUTSIDE jit (static camera flags are read concretely).
+    """
+    from rt_tpu.wavefront import _seed_from_key
+
+    n_pixels = (
+        camera.image_width * camera.image_height if n_pixels is None else n_pixels
+    )
+    n_global = camera.image_width * camera.image_height
+    p_pad = scene.shade_table.shape[1]
+    if packed_select is None:
+        packed_select = p_pad <= 1024  # id-in-mantissa t truncation budget
+    # Small renders: shrink the tile so the grid still covers >= 1 tile.
+    while tile_pixels > 256 and tile_pixels // 2 >= n_pixels:
+        tile_pixels //= 2
+    n_tiles = -(-n_pixels // tile_pixels)
+
+    seed = _seed_from_key(key)
+    sky = scene.sky
+    sun = sky.sun_direction / jnp.linalg.norm(sky.sun_direction)
+    theta_s = sky_mod._safe_arccos(jnp.clip(sun[2], 0.0, 1.0))
+    cos_theta_s = jnp.cos(theta_s)
+    coef_y, coef_x, coef_yc = sky_mod.perez_coefficients(sky.turbidity)
+    yz, xz, yzc = sky_mod.zenith_values(sky.turbidity, theta_s)
+    one = jnp.asarray(1.0, jnp.float32)
+    den_y = sky_mod._perez(coef_y, one, theta_s, cos_theta_s)
+    den_x = sky_mod._perez(coef_x, one, theta_s, cos_theta_s)
+    den_yc = sky_mod._perez(coef_yc, one, theta_s, cos_theta_s)
+
+    pf = jnp.zeros((1, _P_F32_LEN), jnp.float32)
+    pf = pf.at[0, _P_PIX00 : _P_PIX00 + 3].set(camera.pixel00_loc)
+    pf = pf.at[0, _P_DU : _P_DU + 3].set(camera.pixel_du)
+    pf = pf.at[0, _P_DV : _P_DV + 3].set(camera.pixel_dv)
+    pf = pf.at[0, _P_DKU : _P_DKU + 3].set(camera.defocus_disk_u)
+    pf = pf.at[0, _P_DKV : _P_DKV + 3].set(camera.defocus_disk_v)
+    pf = pf.at[0, _P_CENTER : _P_CENTER + 3].set(camera.center)
+    pf = pf.at[0, _P_SUN : _P_SUN + 3].set(sun)
+    pf = pf.at[0, _P_COEF_Y : _P_COEF_Y + 5].set(coef_y)
+    pf = pf.at[0, _P_COEF_X : _P_COEF_X + 5].set(coef_x)
+    pf = pf.at[0, _P_COEF_YC : _P_COEF_YC + 5].set(coef_yc)
+    pf = pf.at[0, _P_ZY].set(yz / den_y * sky.exposure)
+    pf = pf.at[0, _P_ZX].set(xz / den_x)
+    pf = pf.at[0, _P_ZYC].set(yzc / den_yc)
+
+    pi = jnp.zeros((1, _PI_I32_LEN), jnp.int32)
+    pi = pi.at[0, _PI_SEED].set(seed.astype(jnp.int32))
+    pi = pi.at[0, _PI_SAMPLE_OFF].set(jnp.asarray(sample_offset, jnp.int32))
+    pi = pi.at[0, _PI_PIX_BASE].set(jnp.int32(pixel_base))
+
+    use_defocus = bool(np.asarray(camera.defocus_angle) > 0.0)
+    s_pad = scene.sph_packed.shape[0]
+    t_pad = scene.tri_packed.shape[0]
+
+    # Channel-planar atlas [3*AH, AW_pad] for the in-kernel one-hot fetch.
+    has_images = bool(scene.has_image_textures)
+    if has_images:
+        ah, aw = scene.atlas.shape[0], scene.atlas.shape[1]
+        aw_pad = max(-(-aw // 128) * 128, 128)
+        planar = jnp.zeros((3 * ah, aw_pad), jnp.float32)
+        planar = planar.at[:, :aw].set(
+            jnp.transpose(scene.atlas, (2, 0, 1)).reshape(3 * ah, aw)
+        )
+    else:
+        planar = jnp.zeros((3, 128), jnp.float32)
+
+    flat = _mega_call(
+        scene.sph_packed,
+        scene.tri_packed,
+        scene.shade_table,
+        planar,
+        pf,
+        pi,
+        spp=int(spp),
+        width=camera.image_width,
+        n_global=n_global,
+        n_spheres=scene.num_spheres,
+        n_sph_chunks=s_pad // SPHERE_CHUNK if scene.num_spheres else 0,
+        n_tri_chunks=-(-t_pad // TRI_CHUNK) if scene.num_triangles else 0,
+        max_depth=cfg.max_depth,
+        t_min=float(cfg.t_min),
+        t_max=float(cfg.t_max),
+        origin_offset=float(cfg.origin_offset),
+        rr_clamp=float(cfg.compat.rr_clamp),
+        backface_cull=bool(cfg.compat.triangle_backface_cull),
+        shared_halton_jitter=bool(cfg.compat.shared_halton_jitter),
+        use_defocus=use_defocus,
+        cos_gamma_as_angle=bool(sky.cos_gamma_as_angle),
+        packed_select=bool(packed_select),
+        has_images=has_images,
+        uv_bbox_remap=bool(cfg.compat.triangle_uv_bbox_remap),
+        lanes=lanes,
+        tile_pixels=tile_pixels,
+        n_tiles=n_tiles,
+        interpret=interpret,
+    )
+    return flat[:n_pixels] / jnp.float32(spp)

@@ -838,8 +838,12 @@ def _prim_shade_kernel(
     p_pad = table_ref.shape[1]
     ids = jax.lax.broadcasted_iota(jnp.int32, (p_pad, best_i.shape[1]), 0)
     onehot = (ids == jnp.maximum(best_i, 0)).astype(jnp.float32)  # [P, R]
+    # HIGHEST: the TPU default rounds f32 matmul inputs to bf16, which
+    # would quantize every fetched shading parameter (colors, IOR, vertex
+    # coordinates) to 8 mantissa bits.
     params_ref[:, :] = jnp.dot(
-        table_ref[:, :], onehot, preferred_element_type=jnp.float32
+        table_ref[:, :], onehot, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
