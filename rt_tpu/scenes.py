@@ -309,6 +309,88 @@ def textured_spheres_scene(texture_dir: str | None = None) -> SceneData:
     return b.build()
 
 
+def scale_rotate_mat(
+    roll_degrees: float,
+    pitch_degrees: float,
+    yaw_degrees: float,
+    scalefactor: float,
+) -> np.ndarray:
+    """The reference's mesh placement matrix (scenes.rs:460-475).
+
+    nalgebra semantics replicated exactly, including the quirk that the
+    "roll" argument also rotates about Z (``from_euler_angles(0, 0, roll)``
+    is a Z rotation): rotation = Ry(pitch) @ Rz(yaw) @ Rz(roll), and the
+    whole homogeneous matrix is scaled by ``scalefactor``.  Consumers apply
+    only the linear 3x3 part (Triangle::transform -> transform_vector,
+    hittable.rs:214-227), so the uniform scale survives and the (zero)
+    translation column is ignored.
+    """
+
+    def rz(deg):
+        r = np.deg2rad(deg)
+        c, s = np.cos(r), np.sin(r)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+
+    def ry(deg):
+        r = np.deg2rad(deg)
+        c, s = np.cos(r), np.sin(r)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+
+    rotation = ry(pitch_degrees) @ rz(yaw_degrees) @ rz(roll_degrees)
+    m = np.eye(4, dtype=np.float64)
+    m[:3, :3] = rotation
+    return (m * scalefactor).astype(np.float32)
+
+
+# The reference's five mesh slots: (obj filename stem, style, transform)
+# in its exact order (scenes.rs:368-381).
+MESH_SCENE_SLOTS = (
+    ("bimba", "red_metal", (0.0, 90.0, 90.0, 12.0)),
+    ("stanford-bunny", "plaster", (0.0, 90.0, 90.0, 12.0)),
+    ("teapot", "metal", (0.0, -90.0, -90.0, 0.6)),
+    ("Nefertiti", "frosted_glass", (90.0, 0.0, 0.0, 0.02)),
+    ("armadillo", "metal", None),
+)
+
+
+def mesh_scene_reference(obj_dir: str, missing_ok: bool = True) -> SceneData:
+    """Reference-parity ``mesh_scene`` (scenes.rs:344-393): the five classic
+    meshes with their per-mesh materials and ``scale_rotate_mat`` placements
+    (bimba/bunny upright at 12x, teapot at 0.6x, Nefertiti at 0.02x,
+    armadillo untransformed) over the 0.75-scale checker ground.
+
+    ``obj_dir`` holds ``<stem>.obj`` files; with ``missing_ok`` absent
+    meshes are skipped (the reference would panic — TODO.md:69).
+    """
+    import os
+
+    from rt_tpu.io.obj_loader import load_obj
+
+    b = SceneBuilder()
+    even = b.solid_color((0.1, 0.1, 0.1))
+    odd = b.solid_color((0.95, 0.95, 0.95))
+    checker_mat = b.lambertian(b.checker(0.75, even, odd))
+    add_ground_plane(b, 10000.0, 10000.0, -0.2, checker_mat, True)
+
+    styles = {
+        "plaster": lambda: b.lambertian_rgb(0.95, 0.70, 0.85),
+        "frosted_glass": lambda: b.dielectric(1.5, 0.05),
+        "metal": lambda: b.metal_solid((0.8, 0.8, 0.8), 0.4),
+        "red_metal": lambda: b.metal_solid((0.0, 0.5, 0.8), 0.3),
+    }
+    for stem, style, srm in MESH_SCENE_SLOTS:
+        path = os.path.join(obj_dir, stem + ".obj")
+        if not os.path.exists(path):
+            if missing_ok:
+                continue
+            raise FileNotFoundError(path)
+        mat = styles[style]()
+        transform = scale_rotate_mat(*srm) if srm is not None else None
+        for model in load_obj(path):
+            b.add_triangles(model["vertices"], model["uvs"], mat, transform=transform)
+    return b.build()
+
+
 def mesh_scene(
     obj_paths: dict[str, str],
     seed: int = 0,
