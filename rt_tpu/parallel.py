@@ -38,21 +38,42 @@ from rt_tpu.integrator import trace_radiance, trace_radiance_diff
 from rt_tpu.scene import SceneData
 
 
-def initialize_multihost(coordinator_address: str | None = None) -> None:
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
     """Multi-host bring-up: ``jax.distributed.initialize`` (SURVEY.md §5.8).
 
     On Cloud TPU pod slices the arguments auto-detect; elsewhere pass the
-    coordinator address.  After this, ``jax.devices()`` spans the slice and
-    every mesh built by :func:`make_mesh` is global — the render/train
-    entry points need no changes (jax.jit handles global-array plumbing).
-    Call once per process, before any other JAX usage.
+    coordinator address plus (num_processes, process_id) — e.g. the
+    2-process CPU smoke test (tests/test_multihost.py).  After this,
+    ``jax.devices()`` spans the slice and every mesh built by
+    :func:`make_mesh` is global — the render/train entry points need no
+    changes.  Call once per process, before any other JAX usage.
     """
     import jax
 
-    if coordinator_address is None:
-        jax.distributed.initialize()
-    else:
-        jax.distributed.initialize(coordinator_address=coordinator_address)
+    kw = {}
+    if coordinator_address is not None:
+        kw["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
+
+
+def put_global(arr, sharding: NamedSharding):
+    """Place a host-replicated array onto a (possibly multi-process) mesh.
+
+    ``jax.device_put`` only reaches process-addressable devices; on a
+    global mesh each process must contribute its own shards, which
+    ``make_array_from_callback`` expresses for both cases."""
+    arr = np.asarray(arr)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
 
 
 def make_mesh(n_devices: int | None = None, tiles: int | None = None) -> Mesh:
@@ -121,8 +142,8 @@ def render_sharded(
 
     pixel_idx = jnp.arange(n_pixels + pad_pixels, dtype=jnp.int32)
     sample_idx = jnp.arange(spp + pad_spp, dtype=jnp.int32)
-    pixel_idx = jax.device_put(pixel_idx, NamedSharding(mesh, P("tiles")))
-    sample_idx = jax.device_put(sample_idx, NamedSharding(mesh, P("spp")))
+    pixel_idx = put_global(pixel_idx, NamedSharding(mesh, P("tiles")))
+    sample_idx = put_global(sample_idx, NamedSharding(mesh, P("spp")))
 
     colors = _trace_pixels(
         scene, camera, pixel_idx, sample_idx, cfg, spp, w, key
@@ -167,9 +188,7 @@ def render_sharded_wavefront(
             jnp.zeros((n_pad - n_pixels,), jnp.int32),
         ]
     )
-    pixel_idx = jax.device_put(
-        pixel_idx, NamedSharding(mesh, P(("tiles", "spp")))
-    )
+    pixel_idx = put_global(pixel_idx, NamedSharding(mesh, P(("tiles", "spp"))))
 
     import inspect
 
@@ -245,12 +264,14 @@ def train_step_sharded(
 
     pixel_sharding = NamedSharding(mesh, P("tiles"))
     replicated = NamedSharding(mesh, P())
-    pixel_idx = jax.device_put(jnp.asarray(pixel_idx, jnp.int32), pixel_sharding)
-    target = jax.device_put(jnp.asarray(target, jnp.float32), pixel_sharding)
-    sample_idx = jax.device_put(
-        jnp.arange(spp_padded, dtype=jnp.int32), NamedSharding(mesh, P("spp"))
+    pixel_idx = put_global(np.asarray(pixel_idx, np.int32), pixel_sharding)
+    target = put_global(np.asarray(target, np.float32), pixel_sharding)
+    sample_idx = put_global(
+        np.arange(spp_padded, dtype=np.int32), NamedSharding(mesh, P("spp"))
     )
-    params = jax.device_put(grad_mod.get_params(scene), replicated)
+    params = jax.tree.map(
+        lambda a: put_global(np.asarray(a), replicated), grad_mod.get_params(scene)
+    )
 
     loss, new_params = _train_step(
         params,
