@@ -163,3 +163,23 @@ def nearest_hit_bvh(
     _, t_best, prim_best = jax.lax.while_loop(cond, body, init)
     t_best = jnp.where(prim_best >= 0, t_best, BIG)
     return t_best, prim_best
+
+
+def nearest_hit_bvh_diff(
+    scene: SceneData, org, dirn, t_min, t_max, compat: CompatConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Reverse-differentiable nearest hit for BVH scenes.
+
+    ``lax.while_loop`` has no reverse rule, so the traversal runs fully
+    detached (stop_gradient on every input) to pick the WINNER id only,
+    and the winner's t is recomputed differentiably — the same
+    detached-decision estimator the sampling machinery uses
+    (RenderConfig.detach_sampling): discrete choices frozen, continuous
+    values carry gradients.  Cost: one extra per-winner primitive test.
+    """
+    sg = jax.lax.stop_gradient
+    scene_sg = jax.tree.map(sg, scene)
+    _, prim = nearest_hit_bvh(scene_sg, sg(org), sg(dirn), t_min, t_max, compat)
+    t = _prim_t(scene, jnp.maximum(prim, 0), org, dirn, t_min, t_max, compat)
+    t = jnp.where(prim >= 0, t, BIG)
+    return t, prim

@@ -314,9 +314,12 @@ def nearest_hit(
             t, prim = _nearest_pallas(scene, org, dirn, t_min, t_max, compat)
             return hit_attributes(scene, org, dirn, t, prim, compat)
     if scene.bvh is not None:
-        from rt_tpu.bvh.traverse import nearest_hit_bvh
+        # The diff wrapper detaches the while_loop walk (no reverse rule)
+        # and recomputes the winner's t differentiably, so "auto" stays
+        # valid under jax.grad for >LEAF-threshold mesh scenes too.
+        from rt_tpu.bvh.traverse import nearest_hit_bvh_diff
 
-        t, prim = nearest_hit_bvh(scene, org, dirn, t_min, t_max, compat)
+        t, prim = nearest_hit_bvh_diff(scene, org, dirn, t_min, t_max, compat)
     else:
         t, prim = nearest_hit_bruteforce(scene, org, dirn, t_min, t_max, compat)
     return hit_attributes(scene, org, dirn, t, prim, compat)
