@@ -63,16 +63,17 @@ class Camera(struct.PyTreeNode):
         if not compat.shared_halton_jitter:
             # Per-pixel Cranley–Patterson rotation decorrelates pixels and
             # kills the reference's moiré artifact (scenes.rs:140-145).
-            pix_id = (pixel_y.astype(jnp.uint32) << jnp.uint32(16)) | pixel_x.astype(
-                jnp.uint32
+            # Same hash-RNG stream as the wavefront (wavefront._camera_jitter:
+            # purposes 5/6 keyed on the flat pixel id), so both integrators
+            # render identical images in the corrected mode.
+            from rt_tpu import rng as rng_mod
+
+            seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.uint32)
+            pix_id = pixel_y.astype(jnp.int32) * jnp.int32(self.image_width) + (
+                pixel_x.astype(jnp.int32)
             )
-            scramble = jax.vmap(
-                lambda p: jax.random.uniform(
-                    jax.random.fold_in(jax.random.fold_in(key, 0x5C7A), p), (2,)
-                )
-            )(pix_id)
-            off_u = jnp.mod(off_u + scramble[:, 0], 1.0)
-            off_v = jnp.mod(off_v + scramble[:, 1], 1.0)
+            off_u = jnp.mod(off_u + rng_mod.uniform(seed, pix_id, 0, 5), 1.0)
+            off_v = jnp.mod(off_v + rng_mod.uniform(seed, pix_id, 0, 6), 1.0)
 
         # NOTE: reference jitter is in [0,1) *added to the pixel-center
         # location* (camera.rs:241-243) — a half-pixel skew it inherits from

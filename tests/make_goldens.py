@@ -65,6 +65,19 @@ def golden_cases():
         RenderConfig(width=96, height=54, samples_per_pixel=8, max_depth=8),
     )
 
+    # Corrected-jitter mode (shared_halton_jitter=False): pins the unified
+    # per-pixel hash scramble (camera.generate_rays == wavefront jitter).
+    from rt_tpu.config import CompatConfig
+
+    cases["cover_scrambled"] = (
+        scenes.cover_scene(3, 3, camera, z=-0.2, seed=0),
+        camera,
+        RenderConfig(
+            width=96, height=54, samples_per_pixel=8, max_depth=12,
+            compat=CompatConfig(shared_halton_jitter=False),
+        ),
+    )
+
     camera3 = scenes.widecam(96, 54)
     cases["earth"] = (
         scenes.earth_scene(),
