@@ -127,6 +127,7 @@ def main(argv=None) -> int:
             cfg,
             checkpoint_path=args.checkpoint,
             metrics_path=args.metrics,
+            progress=True,  # indicatif-style sweep bar (profiling.ProgressBar)
         )
         server = None
         if args.serve is not None:

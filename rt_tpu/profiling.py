@@ -51,6 +51,38 @@ class MetricsLog:
         return record
 
 
+class ProgressBar:
+    """Terminal progress bar — the indicatif analog (SURVEY.md §2.2;
+    reference: camera.rs:332's per-render bar).  Stdlib-only, single-line
+    carriage-return redraw, ETA from the cumulative rate."""
+
+    def __init__(self, total: int, unit: str = "sweeps", width: int = 28, stream=None):
+        import sys
+
+        self.total = max(total, 1)
+        self.unit = unit
+        self.width = width
+        self.stream = stream if stream is not None else sys.stderr
+        self.done = 0
+        self._start = time.perf_counter()
+
+    def update(self, done: int, suffix: str = "") -> None:
+        self.done = min(done, self.total)
+        frac = self.done / self.total
+        filled = int(frac * self.width)
+        bar = "#" * filled + "-" * (self.width - filled)
+        elapsed = time.perf_counter() - self._start
+        eta = elapsed * (1.0 - frac) / frac if frac > 0 else float("inf")
+        eta_s = f"{eta:.0f}s" if eta < 1e4 else "--"
+        self.stream.write(
+            f"\r[{bar}] {self.done}/{self.total} {self.unit} "
+            f"({100.0 * frac:3.0f}%) eta {eta_s} {suffix}"
+        )
+        self.stream.flush()
+        if self.done >= self.total:
+            self.stream.write("\n")
+
+
 class ThroughputTimer:
     """Per-sweep + cumulative Mray/s, matching the reference's two printed
     figures (window.rs:315-324)."""

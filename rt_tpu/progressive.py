@@ -24,7 +24,6 @@ differs per pass (thread_rng there, a per-pass key fold here).
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import time
 from typing import Callable
@@ -35,6 +34,7 @@ import numpy as np
 
 from rt_tpu.camera import Camera
 from rt_tpu.config import ProgressiveSchedule, RenderConfig
+from rt_tpu.profiling import MetricsLog, ProgressBar, ThroughputTimer
 from rt_tpu.scene import SceneData
 from rt_tpu.wavefront import render_wavefront
 
@@ -64,17 +64,19 @@ class ProgressiveRenderer:
         checkpoint_path: str | None = None,
         metrics_path: str | None = None,
         reuse_sample_indices: bool = True,
+        progress: bool = False,
     ):
         self.scene = scene
         self.camera = camera
         self.cfg = cfg
         self.passes = (schedule or ProgressiveSchedule.reference()).passes()
         self.checkpoint_path = checkpoint_path
-        self.metrics_path = metrics_path
         self.reuse_sample_indices = reuse_sample_indices
         h, w = camera.image_height, camera.image_width
         self.state = ProgressiveState(np.zeros((h, w, 3), np.float32), 0, 0)
-        self._start_time = time.perf_counter()
+        self._timer = ThroughputTimer(w, h)
+        self._metrics = MetricsLog(metrics_path)
+        self._bar = ProgressBar(len(self.passes)) if progress else None
         self._pixel_idx = jnp.arange(w * h, dtype=jnp.int32)
         if checkpoint_path and os.path.exists(checkpoint_path):
             self.load_checkpoint(checkpoint_path)
@@ -89,6 +91,7 @@ class ProgressiveRenderer:
         ns = self.passes[i]
         w, h = self.camera.image_width, self.camera.image_height
 
+        self._timer.begin_sweep()
         sweep_start = time.perf_counter()
         # Reference quirk: jitter indices restart at 0 every pass
         # (camera.rs:317-320); material randomness differs via the pass key.
@@ -105,21 +108,19 @@ class ProgressiveRenderer:
         )
         colors = np.asarray(jax.block_until_ready(colors)).reshape(h, w, 3)
         sweep_s = time.perf_counter() - sweep_start
+        sweep_mray, cum_mray = self._timer.end_sweep(ns)
 
         self.state.accum += colors * ns
         self.state.total_spp += ns
         self.state.pass_index += 1
 
-        total_s = time.perf_counter() - self._start_time
-        rays_sweep = ns * w * h
-        rays_total = self.state.total_spp * w * h
         metrics = {
             "sweep": i + 1,
             "sweep_spp": ns,
             "total_spp": self.state.total_spp,
             "sweep_s": sweep_s,
-            "mray_per_s": rays_sweep / 1e6 / sweep_s,
-            "cumulative_mray_per_s": rays_total / 1e6 / total_s,
+            "mray_per_s": sweep_mray,
+            "cumulative_mray_per_s": cum_mray,
         }
         # Reference-parity print (window.rs:264-269, 319-324).
         print(
@@ -130,9 +131,12 @@ class ProgressiveRenderer:
             f"Rendered sweep {i + 1} at {metrics['mray_per_s']:.1f} million "
             f"rays/second, overall speed: {metrics['cumulative_mray_per_s']:.1f} Mray/s"
         )
-        if self.metrics_path:
-            with open(self.metrics_path, "a") as f:
-                f.write(json.dumps(metrics) + "\n")
+        self._metrics.log(**metrics)
+        if self._bar is not None:
+            self._bar.update(
+                self.state.pass_index,
+                f"{self.state.total_spp} spp, {sweep_mray:.1f} Mray/s",
+            )
         if self.checkpoint_path:
             self.save_checkpoint(self.checkpoint_path)
         return metrics

@@ -26,3 +26,16 @@ def test_metrics_log(tmp_path):
     lines = [json.loads(l) for l in open(path)]
     assert lines[0]["sweep"] == 1 and "t_wall_s" in lines[0]
     assert lines[1]["mray"] == 4.0
+
+
+def test_progress_bar_renders_and_completes():
+    import io
+
+    from rt_tpu.profiling import ProgressBar
+
+    buf = io.StringIO()
+    bar = ProgressBar(4, stream=buf)
+    bar.update(1, "x")
+    bar.update(4, "done")
+    out = buf.getvalue()
+    assert "1/4" in out and "4/4" in out and out.endswith("\n")
