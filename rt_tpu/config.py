@@ -88,6 +88,11 @@ class RenderConfig:
     # much as it saves on the scenes measured so far (ROADMAP) — off by
     # default; images are identical either way.
     sort_rays: bool = False
+    # Renderer selection: "wavefront" (persistent wavefront, two device
+    # programs per bounce), "megakernel" (whole bounce loop in one Pallas
+    # call — requires megakernel.eligible(scene) and a TPU backend), or
+    # "auto" (megakernel where eligible, wavefront otherwise).
+    renderer: str = "wavefront"
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
 
     def replace(self, **kw) -> "RenderConfig":

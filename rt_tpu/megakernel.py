@@ -79,7 +79,8 @@ _P_COEF_YC = 31  # 5
 _P_ZY = 36  # zenith_y / den_y * exposure
 _P_ZX = 37  # zenith_x / den_x
 _P_ZYC = 38  # zenith_yc / den_yc
-_P_F32_LEN = 40
+_P_HW = 40  # Hosek-Wilkie per-channel (A..I, scale*exposure): 40..69
+_P_F32_LEN = 72
 
 _PI_SEED = 0
 _PI_SAMPLE_OFF = 1
@@ -256,6 +257,7 @@ def _mega_kernel(
     table_ref,  # f32[F, P_pad] VMEM shade table
     atlas_ref,  # f32[3*AH, AW_pad] channel-planar image atlas
     out_ref,  # f32[3*NQ, 256] per-tile radiance sums
+    iters_ref,  # i32[1, 1] SMEM: bounce-loop iteration count (diagnostic)
     sf,  # f32[16, R] scratch: rays rows 0..7, throughput rows 8..10
     si,  # i32[8, R] scratch: 0 gid, 1 depth, 2 active, 3 pix_local
     acc,  # f32[3*NQ, 256] scratch accumulator
@@ -282,6 +284,8 @@ def _mega_kernel(
     has_images,
     atlas_h,
     uv_bbox_remap,
+    sky_model,
+    ablate,
 ):
     R = lanes
     NP = tile_pixels
@@ -350,7 +354,7 @@ def _mega_kernel(
         return q, r
 
     def body(carry):
-        next_work, _ = carry
+        next_work, _, it = carry
 
         # ---- claims -------------------------------------------------------
         active = si[2:3, :] > 0
@@ -531,9 +535,17 @@ def _mega_kernel(
             prim = jnp.where(hit, prim, 0)
 
         # ---- shade-table fetch (one-hot MXU matmul) ----------------------
-        onehot = (oh_iota == jnp.where(hit, prim, 0)).astype(f32)  # [P,R]
-        f = jnp.dot(table_ref[:, :], onehot, preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST)  # [F,R]
+        n_f = table_ref.shape[0] // 2
+        if "nofetch" in ablate:  # perf ablation: constant material
+            f = jnp.broadcast_to(table_ref[:n_f, 0:1], (n_f, R))
+        else:
+            # table_ref rows are a bf16 hi/lo split (built host-side), so
+            # the DEFAULT-precision matmul (bf16 inputs, 1 MXU pass) is
+            # exact on hi and captures the next 8 mantissa bits via lo —
+            # ~2^-16 relative overall at 1/9th the cost of a HIGHEST dot.
+            onehot = (oh_iota == jnp.where(hit, prim, 0)).astype(f32)  # [P,R]
+            f2 = jnp.dot(table_ref[:, :], onehot, preferred_element_type=f32)
+            f = f2[:n_f] + f2[n_f:]  # [F,R]
 
         def row(i):
             return f[i : i + 1, :]
@@ -579,7 +591,7 @@ def _mega_kernel(
         tg = jnp.where(use_even, row(FS.F_CE + 1), row(FS.F_CO + 1))
         tb = jnp.where(use_even, row(FS.F_CE + 2), row(FS.F_CO + 2))
 
-        if has_images:
+        if has_images and "noimg" not in ablate:
             # UV (sphere: hittable.rs:367-406 via fast_shade's scalarized
             # form; triangle barycentric recompute hittable.rs:433-452).
             fx_, fy_, fz_ = row(FS.F_NX), row(FS.F_NY), row(FS.F_NZ)
@@ -647,20 +659,22 @@ def _mega_kernel(
             h_img = jnp.maximum(row(FS.F_RECT + 3), 1.0)
             ix = (jnp.clip(u_, 0.0, 1.0) * (w_img - 1.0)).astype(jnp.int32)
             iy = (jnp.clip(v_, 0.0, 1.0) * (h_img - 1.0)).astype(jnp.int32)
-            aw_pad = atlas_ref.shape[1]
+            aw_pad = atlas_ref.shape[1] // 2  # cols are a hi|lo split
             ax2 = jnp.clip(row(FS.F_RECT + 0).astype(jnp.int32) + ix, 0, aw_pad - 1)
             ay2 = jnp.clip(row(FS.F_RECT + 1).astype(jnp.int32) + iy, 0, atlas_h - 1)
             rowsel = (ah_iota == ay2).astype(f32)  # [AH, R]
-            colmask = (aw_iota == ax2).astype(f32)  # [AWp, R]
+            # The column mask hits BOTH the hi half (at ax) and the lo half
+            # (at ax + aw_pad), so the final reduce sums hi + lo texels —
+            # one DEFAULT-precision matmul, ~16 effective mantissa bits.
+            colmask = ((aw_iota == ax2) | (aw_iota == ax2 + aw_pad)).astype(f32)
             ddr = (((0,), (0,)), ((), ()))
             is_image = tex_kind > 1.5
             texels = []
             for ch in range(3):
                 plane = atlas_ref[ch * atlas_h : (ch + 1) * atlas_h, :]
                 sel = jax.lax.dot_general(
-                    plane, rowsel, ddr, preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # [AWp, R]
+                    plane, rowsel, ddr, preferred_element_type=f32
+                )  # [2*AWp, R]
                 texels.append(jnp.sum(colmask * sel, axis=0, keepdims=True))
             tr = jnp.where(is_image, texels[0], tr)
             tg = jnp.where(is_image, texels[1], tg)
@@ -749,28 +763,64 @@ def _mega_kernel(
 
         # ---- sky (Perez; sky.py parity incl. the cos-as-angle quirk) -----
         sdx, sdy, sdz = udx, udy, udz
-        cos_theta = jnp.clip(sdz, 0.01, 1.0)
-        cos_gamma = jnp.clip(sdx * sunx + sdy * suny + sdz * sunz, -1.0, 1.0)
-        if cos_gamma_as_angle:
-            gamma = cos_gamma
-            _, cg2 = _sincos(jnp.where(gamma < 0.0, gamma + np.float32(2.0 * np.pi), gamma))
-            cos_gamma = cg2
+        if "nosky" in ablate:  # perf ablation: constant sky
+            sky_r = sky_g = sky_b = jnp.full((1, R), 0.5, f32)
         else:
-            gamma = _acos(jnp.clip(cos_gamma, -1.0 + 1e-6, 1.0 - 1e-6))
-        y_lum = jnp.maximum(
-            _perez(pf_ref, _P_COEF_Y, cos_theta, gamma, cos_gamma) * zy, 0.0
-        )
-        x_c = _perez(pf_ref, _P_COEF_X, cos_theta, gamma, cos_gamma) * zx
-        y_c = jnp.maximum(_perez(pf_ref, _P_COEF_YC, cos_theta, gamma, cos_gamma) * zyc, 1e-6)
-        big_x = x_c / y_c * y_lum
-        big_z = (1.0 - x_c - y_c) / y_c * y_lum
-        m = sky_mod._XYZ_TO_SRGB
-        sky_r = jnp.maximum(m[0, 0] * big_x + m[0, 1] * y_lum + m[0, 2] * big_z, 0.0)
-        sky_g = jnp.maximum(m[1, 0] * big_x + m[1, 1] * y_lum + m[1, 2] * big_z, 0.0)
-        sky_b = jnp.maximum(m[2, 0] * big_x + m[2, 1] * y_lum + m[2, 2] * big_z, 0.0)
-        ws = np.float32(_WHITE_SCALE)
-        tm = lambda v: jnp.maximum(ws * _u2(1.1 * v), 0.0)
-        sky_r, sky_g, sky_b = tm(sky_r), tm(sky_g), tm(sky_b)
+            cos_theta = jnp.clip(sdz, 0.01, 1.0)
+            cos_gamma = jnp.clip(sdx * sunx + sdy * suny + sdz * sunz, -1.0, 1.0)
+            if cos_gamma_as_angle:
+                gamma = cos_gamma
+                _, cg2 = _sincos(
+                    jnp.where(gamma < 0.0, gamma + np.float32(2.0 * np.pi), gamma)
+                )
+                cos_gamma = cg2
+            else:
+                gamma = _acos(jnp.clip(cos_gamma, -1.0 + 1e-6, 1.0 - 1e-6))
+            if sky_model == "hosek":
+                # H-W 2012 distribution (sky.hosek_radiance_rgb parity);
+                # per-channel (A..I, scale*exposure) from SMEM rows.
+                sq_ct = jnp.sqrt(jnp.maximum(cos_theta, 0.0))
+                hw_rgb = []
+                for ch in range(3):
+                    base = _P_HW + 10 * ch
+                    a_ = pf_ref[0, base + 0]
+                    b_ = pf_ref[0, base + 1]
+                    c_ = pf_ref[0, base + 2]
+                    d_ = pf_ref[0, base + 3]
+                    e_ = pf_ref[0, base + 4]
+                    f_ = pf_ref[0, base + 5]
+                    g_ = pf_ref[0, base + 6]
+                    h_ = pf_ref[0, base + 7]
+                    i_ = pf_ref[0, base + 8]
+                    sc_ = pf_ref[0, base + 9]
+                    den = jnp.maximum(1.0 + h_ * h_ - 2.0 * h_ * cos_gamma, 1e-6)
+                    chi = (1.0 + cos_gamma * cos_gamma) / (den * jnp.sqrt(den))
+                    val = (1.0 + a_ * jnp.exp(b_ / jnp.maximum(cos_theta, 0.01))) * (
+                        c_ + d_ * jnp.exp(e_ * gamma) + f_ * cos_gamma * cos_gamma
+                        + g_ * chi + i_ * sq_ct
+                    )
+                    hw_rgb.append(jnp.maximum(val * sc_, 0.0))
+                ws = np.float32(_WHITE_SCALE)
+                tm = lambda v: jnp.maximum(ws * _u2(1.1 * v), 0.0)
+                sky_r, sky_g, sky_b = tm(hw_rgb[0]), tm(hw_rgb[1]), tm(hw_rgb[2])
+                y_lum = None
+            if sky_model != "hosek":
+                y_lum = jnp.maximum(
+                    _perez(pf_ref, _P_COEF_Y, cos_theta, gamma, cos_gamma) * zy, 0.0
+                )
+                x_c = _perez(pf_ref, _P_COEF_X, cos_theta, gamma, cos_gamma) * zx
+                y_c = jnp.maximum(
+                    _perez(pf_ref, _P_COEF_YC, cos_theta, gamma, cos_gamma) * zyc, 1e-6
+                )
+                big_x = x_c / y_c * y_lum
+                big_z = (1.0 - x_c - y_c) / y_c * y_lum
+                m = sky_mod._XYZ_TO_SRGB
+                sky_r = jnp.maximum(m[0, 0] * big_x + m[0, 1] * y_lum + m[0, 2] * big_z, 0.0)
+                sky_g = jnp.maximum(m[1, 0] * big_x + m[1, 1] * y_lum + m[1, 2] * big_z, 0.0)
+                sky_b = jnp.maximum(m[2, 0] * big_x + m[2, 1] * y_lum + m[2, 2] * big_z, 0.0)
+                ws = np.float32(_WHITE_SCALE)
+                tm = lambda v: jnp.maximum(ws * _u2(1.1 * v), 0.0)
+                sky_r, sky_g, sky_b = tm(sky_r), tm(sky_g), tm(sky_b)
 
         # ---- classify + deposit ------------------------------------------
         miss = active & ~hit
@@ -784,21 +834,23 @@ def _mega_kernel(
 
         q = pixl_s >> 8
         r_ = pixl_s & 255
-        e_q = (eq_iota == q).astype(f32)  # [NQP, R] (pad rows never match)
-        e_rt = (er_iota == r_).astype(f32)  # [256, R]
-        ddn = (((1,), (1,)), ((), ()))
-        acc[0:NQP, :] += jax.lax.dot_general(
-            e_q * dep_r, e_rt, ddn, preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        acc[NQP : 2 * NQP, :] += jax.lax.dot_general(
-            e_q * dep_g, e_rt, ddn, preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        acc[2 * NQP : 3 * NQP, :] += jax.lax.dot_general(
-            e_q * dep_b, e_rt, ddn, preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        if "nodeposit" not in ablate:
+            e_q = (eq_iota == q).astype(f32)  # [NQP, R] (pad rows never match)
+            e_rt = (er_iota == r_).astype(f32)  # [256, R]
+            # One DEFAULT-precision matmul for all 3 channels x (hi, lo):
+            # channel rows stacked on the M axis, deposit values split into
+            # exact-bf16 hi + bf16(lo) so 1 MXU pass keeps ~16 mantissa bits.
+            eqd = jnp.concatenate(
+                [e_q * dep_r, e_q * dep_g, e_q * dep_b], axis=0
+            )  # [3*NQP, R]
+            eqd_hi = eqd.astype(jnp.bfloat16).astype(f32)
+            eqd_lo = eqd - eqd_hi
+            stacked = jnp.concatenate([eqd_hi, eqd_lo], axis=0)  # [6*NQP, R]
+            ddn = (((1,), (1,)), ((), ()))
+            delta = jax.lax.dot_general(
+                stacked, e_rt, ddn, preferred_element_type=f32
+            )  # [6*NQP, 256]
+            acc[:, :] += delta[: 3 * NQP] + delta[3 * NQP :]
 
         # ---- advance state ------------------------------------------------
         sf[0:1, :] = jnp.where(cont, px + off * nx, ox)
@@ -816,13 +868,16 @@ def _mega_kernel(
         si[3:4, :] = pixl_s
 
         n_active = jnp.sum(jnp.where(cont, 1, 0))
-        return (next_work + n_claimed, n_active)
+        return (next_work + n_claimed, n_active, it + 1)
 
     def cond(carry):
-        next_work, n_active = carry
+        next_work, n_active, _ = carry
         return (next_work < total_work) | (n_active > 0)
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    _, _, n_iters = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    )
+    iters_ref[0, 0] = n_iters
     out_ref[:, :] = acc[:, :]
 
 
@@ -851,6 +906,8 @@ def _mega_kernel(
         "tile_pixels",
         "n_tiles",
         "interpret",
+        "sky_model",
+        "ablate",
     ),
 )
 def _mega_call(
@@ -883,6 +940,8 @@ def _mega_call(
     tile_pixels,
     n_tiles,
     interpret,
+    sky_model,
+    ablate,
 ):
     nq = tile_pixels // 256
     nqp = max(-(-nq // 8) * 8, 8)  # padded per-channel rows (see _mega_kernel)
@@ -911,8 +970,10 @@ def _mega_call(
         has_images=has_images,
         atlas_h=atlas_h,
         uv_bbox_remap=uv_bbox_remap,
+        sky_model=sky_model,
+        ablate=ablate,
     )
-    out = pl.pallas_call(
+    out, iters = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -923,8 +984,14 @@ def _mega_call(
             pl.BlockSpec(shade_table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(atlas_planar.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3 * nqp, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * 3 * nqp, 256), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((3 * nqp, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * 3 * nqp, 256), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((16, lanes), jnp.float32),
             pltpu.VMEM((8, lanes), jnp.int32),
@@ -935,7 +1002,7 @@ def _mega_call(
     # [tiles*3NQP, 256] -> drop channel pad rows -> [3, tiles*NP]
     out = out.reshape(n_tiles, 3, nqp, 256)[:, :, :nq, :]
     out = jnp.transpose(out, (1, 0, 2, 3)).reshape(3, n_tiles * tile_pixels)
-    return out.T
+    return out.T, iters
 
 
 def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
@@ -949,7 +1016,6 @@ def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     return (
         scene.shade_table is not None
         and atlas_ok
-        and scene.sky.hw_params is None  # H-W sky not yet ported in-kernel
         and scene.clusters is None
         and scene.num_prims <= 4096
         and scene.num_triangles <= MAX_FAST_TRIANGLES
@@ -972,6 +1038,8 @@ def render_megakernel(
     tile_pixels: int = TILE_PIXELS,
     packed_select: bool | None = None,
     interpret: bool = False,
+    ablate: str = "",
+    return_iters: bool = False,
 ) -> jnp.ndarray:
     """Mean radiance f32[n_pixels, 3] for the contiguous pixel range
     [pixel_base, pixel_base + n_pixels) — megakernel analog of
@@ -1019,6 +1087,12 @@ def render_megakernel(
     pf = pf.at[0, _P_ZY].set(yz / den_y * sky.exposure)
     pf = pf.at[0, _P_ZX].set(xz / den_x)
     pf = pf.at[0, _P_ZYC].set(yzc / den_yc)
+    sky_model = "perez"
+    if sky.hw_params is not None:
+        sky_model = "hosek"
+        hw = jnp.asarray(sky.hw_params, jnp.float32)
+        hw = hw.at[:, 9].set(hw[:, 9] * sky.exposure)  # premultiply exposure
+        pf = pf.at[0, _P_HW : _P_HW + 30].set(hw.reshape(-1))
 
     pi = jnp.zeros((1, _PI_I32_LEN), jnp.int32)
     pi = pi.at[0, _PI_SEED].set(seed.astype(jnp.int32))
@@ -1029,22 +1103,33 @@ def render_megakernel(
     s_pad = scene.sph_packed.shape[0]
     t_pad = scene.tri_packed.shape[0]
 
-    # Channel-planar atlas [3*AH, AW_pad] for the in-kernel one-hot fetch.
+    def _hilo_rows(x):
+        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+        return hi, x - hi
+
+    # Channel-planar atlas [3*AH, 2*AW_pad] (hi | lo bf16 split along the
+    # column axis) for the in-kernel one-hot fetch at DEFAULT precision.
     has_images = bool(scene.has_image_textures)
     if has_images:
         ah, aw = scene.atlas.shape[0], scene.atlas.shape[1]
         aw_pad = max(-(-aw // 128) * 128, 128)
-        planar = jnp.zeros((3 * ah, aw_pad), jnp.float32)
-        planar = planar.at[:, :aw].set(
-            jnp.transpose(scene.atlas, (2, 0, 1)).reshape(3 * ah, aw)
-        )
+        flat_planes = jnp.transpose(scene.atlas, (2, 0, 1)).reshape(3 * ah, aw)
+        p_hi, p_lo = _hilo_rows(flat_planes)
+        planar = jnp.zeros((3 * ah, 2 * aw_pad), jnp.float32)
+        planar = planar.at[:, :aw].set(p_hi)
+        planar = planar.at[:, aw_pad : aw_pad + aw].set(p_lo)
     else:
-        planar = jnp.zeros((3, 128), jnp.float32)
+        planar = jnp.zeros((3, 256), jnp.float32)
 
-    flat = _mega_call(
+    # Shade table rows stacked hi | lo for the single DEFAULT-precision
+    # parameter-fetch matmul (see _mega_kernel).
+    t_hi, t_lo = _hilo_rows(scene.shade_table)
+    table_hilo = jnp.concatenate([t_hi, t_lo], axis=0)
+
+    flat, iters = _mega_call(
         scene.sph_packed,
         scene.tri_packed,
-        scene.shade_table,
+        table_hilo,
         planar,
         pf,
         pi,
@@ -1070,5 +1155,10 @@ def render_megakernel(
         tile_pixels=tile_pixels,
         n_tiles=n_tiles,
         interpret=interpret,
+        sky_model=sky_model,
+        ablate=ablate,
     )
-    return flat[:n_pixels] / jnp.float32(spp)
+    img = flat[:n_pixels] / jnp.float32(spp)
+    if return_iters:
+        return img, iters
+    return img

@@ -87,7 +87,32 @@ def render_pixel_colors(
     n_pixels = w * h
 
     if wavefront:
+        from rt_tpu import megakernel as mk
         from rt_tpu.wavefront import render_wavefront
+
+        use_mega = cfg.renderer == "megakernel" or (
+            cfg.renderer == "auto" and mk.eligible(scene, cfg)
+        )
+        if use_mega and jax.default_backend() not in ("cpu",):
+            # Persistent megakernel: one Pallas program integrates the
+            # whole frame chunk; spp chunking keeps the per-tile work
+            # queue (and the sample axis of its VMEM accumulator) bounded.
+            spp_chunk = max(1, min(spp, 64))
+            if spp_chunk >= spp:
+                flat = mk.render_megakernel(
+                    scene, camera, cfg, spp, sample_offset, key
+                )
+                return flat.reshape(h, w, 3)
+            accum = jnp.zeros((n_pixels, 3), jnp.float32)
+            done = 0
+            while done < spp:
+                ns = min(spp_chunk, spp - done)
+                part = mk.render_megakernel(
+                    scene, camera, cfg, ns, sample_offset + done, key
+                )
+                accum = accum + part * ns
+                done += ns
+            return (accum / spp).reshape(h, w, 3)
 
         pixel_idx = jnp.arange(n_pixels, dtype=jnp.int32)
         # Chunk high sample counts: the wavefront's per-work deposit buffer

@@ -141,3 +141,15 @@ def test_megakernel_multi_tile_and_offsets():
         )
     )
     np.testing.assert_allclose(got2, ref[half:], atol=1e-3, rtol=1e-3)
+
+
+def test_megakernel_hosek_sky():
+    from rt_tpu.sky import SkyParams
+
+    scene = _simple(
+        lambda b: b.add_sphere((0, 0, 1), 1, b.lambertian(b.solid_color((0.5, 0.4, 0.3))))
+    )
+    scene = scene.replace(sky=SkyParams.hosek_reference())
+    assert eligible(scene, RenderConfig())
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=2, max_depth=8)
+    _compare(scene, _camera(), cfg)
