@@ -257,7 +257,7 @@ def _mega_kernel(
     table_ref,  # f32[F, P_pad] VMEM shade table
     atlas_ref,  # f32[3*AH, AW_pad] channel-planar image atlas
     out_ref,  # f32[3*NQ, 256] per-tile radiance sums
-    iters_ref,  # i32[1, 1] SMEM: bounce-loop iteration count (diagnostic)
+    iters_ref,  # i32[n_tiles, 1] SMEM (full): per-tile bounce iterations
     sf,  # f32[16, R] scratch: rays rows 0..7, throughput rows 8..10
     si,  # i32[8, R] scratch: 0 gid, 1 depth, 2 active, 3 pix_local
     acc,  # f32[3*NQ, 256] scratch accumulator
@@ -877,7 +877,7 @@ def _mega_kernel(
     _, _, n_iters = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
     )
-    iters_ref[0, 0] = n_iters
+    iters_ref[tile, 0] = n_iters
     out_ref[:, :] = acc[:, :]
 
 
@@ -986,7 +986,7 @@ def _mega_call(
         ],
         out_specs=[
             pl.BlockSpec((3 * nqp, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles * 3 * nqp, 256), jnp.float32),

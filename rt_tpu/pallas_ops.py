@@ -561,8 +561,10 @@ def cluster_nearest(
 
 def _worklist_kernel(
     rays_ref,  # f32[8, R] block
+    ssup_ref,  # sphere super AABBs f32[Ss_pad, 8] (64-cluster groups)
     scl_ref,  # sphere cluster AABBs f32[Ms_pad, 8] (VMEM, sublane-major)
     sp_ref,  # sphere slots f32[4, Ms_pad*128]
+    tsup_ref,  # triangle super AABBs f32[St_pad, 8]
     tcl_ref,  # triangle cluster AABBs f32[Mt_pad, 8]
     tp_ref,  # triangle slots f32[12, Mt_pad*128]
     t_ref,
@@ -574,6 +576,8 @@ def _worklist_kernel(
     wl_smem,  # SMEM [1, M_pad128] i32 worklist
     dma_sem,
     *,
+    n_s_supers,
+    n_t_supers,
     n_s_clusters,
     n_t_clusters,
     n_sph_slots,
@@ -583,14 +587,19 @@ def _worklist_kernel(
     t_max,
     backface_cull,
 ):
-    """Branchless two-phase clustered nearest hit.
+    """Branchless HIERARCHICAL two-phase clustered nearest hit.
 
     ``pl.when`` per cluster costs ~10 us of pipeline drain on v5e, which
     made the predicated cluster kernel slower than brute force.  This
     kernel has NO vector-unit branches in the hot path:
 
-    phase A: slab-test every cluster AABB against the whole ray tile,
-             vectorized in 64-cluster chunks -> entered mask per cluster;
+    phase A0: slab-test the SUPER AABBs (one per 64-cluster group) against
+             the whole ray tile, compact the entered supers to a worklist
+             (same machinery as below), DMA it to SMEM;
+    phase A: a while_loop over ENTERED supers only slab-tests their 64
+             member clusters -> entered mask per cluster (skipped supers'
+             mask rows stay zero) — coherent primary tiles touch a couple
+             of supers instead of every 64-cluster chunk;
     phase B: arithmetic stream compaction (rank = cumsum(mask); a
              rank-match mask-reduce writes entered ids densely) -> DMA the
              worklist to SMEM for scalar indexing;
@@ -610,37 +619,39 @@ def _worklist_kernel(
 
     bt_scr[0:1, :] = jnp.full(bt_scr.shape, big, jnp.float32)
     bi_scr[0:1, :] = jnp.full(bi_scr.shape, -1, jnp.int32)
+    # Phase A now fills mask rows selectively (entered supers only), so
+    # the scratch must start clean.
+    mask_scr[:, :] = jnp.zeros(mask_scr.shape, jnp.int32)
 
-    def cluster_masks(cl_ref, m_pad, row_base):
-        """Entered mask per cluster, written to mask_scr rows
-        [row_base, row_base + m_pad) (Mosaic has no dynamic_update_slice on
-        values; scratch-ref stores with pl.ds are the supported form)."""
-        n_chunks = m_pad // 64
+    def slab_any(box):
+        """Entered mask per AABB row: box [K, 8] -> i32 [K, 1]."""
+        lx, ly, lz = box[:, 0:1], box[:, 1:2], box[:, 2:3]
+        hx, hy, hz = box[:, 3:4], box[:, 4:5], box[:, 5:6]
+        t0x = (lx - ox) * inv_dx  # [K, R]
+        t1x = (hx - ox) * inv_dx
+        t0y = (ly - oy) * inv_dy
+        t1y = (hy - oy) * inv_dy
+        t0z = (lz - oz) * inv_dz
+        t1z = (hz - oz) * inv_dz
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        hit = (tn <= tf) & (tf >= 0.0) & (tn < bt_scr[0:1, :])
+        return jnp.max(hit.astype(jnp.int32), axis=1, keepdims=True)  # [K,1]
 
-        def chunk(ci, _):
-            box = cl_ref[pl.ds(ci * 64, 64), :]  # [64, 8]
-            lx, ly, lz = box[:, 0:1], box[:, 1:2], box[:, 2:3]
-            hx, hy, hz = box[:, 3:4], box[:, 4:5], box[:, 5:6]
-            t0x = (lx - ox) * inv_dx  # [64, R]
-            t1x = (hx - ox) * inv_dx
-            t0y = (ly - oy) * inv_dy
-            t1y = (hy - oy) * inv_dy
-            t0z = (lz - oz) * inv_dz
-            t1z = (hz - oz) * inv_dz
-            tn = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
-            )
-            tf = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.maximum(t0z, t1z),
-            )
-            hit = (tn <= tf) & (tf >= 0.0) & (tn < bt_scr[0:1, :])
-            any_hit = jnp.max(hit.astype(jnp.int32), axis=1, keepdims=True)  # [64,1]
-            mask_scr[pl.ds(row_base + ci * 64, 64), 0:1] = any_hit
-            return 0
-
-        jax.lax.fori_loop(0, n_chunks, chunk, 0)
+    def cluster_chunk_masks(cl_ref, sid, row_base):
+        """Entered masks for super ``sid``'s 64 member clusters, written to
+        mask_scr rows [row_base + sid*64, +64) (Mosaic has no
+        dynamic_update_slice on values; scratch-ref stores with pl.ds are
+        the supported form)."""
+        off = pl.multiple_of(sid * 64, 64)
+        any_hit = slab_any(cl_ref[pl.ds(off, 64), :])
+        mask_scr[pl.ds(row_base + off, 64), 0:1] = any_hit
 
     def compact(mask, offset):
         """Dense worklist of entered cluster ids (+offset tag), padded -1:
@@ -668,8 +679,73 @@ def _worklist_kernel(
         return jnp.where(filled > 0, compacted, -1)  # [1, m_pad] lane-major
 
     total_pad = wl_smem.shape[1]  # lane-major [1, total_pad]
-    cluster_masks(scl_ref, n_s_clusters, 0)
-    cluster_masks(tcl_ref, n_t_clusters, n_s_clusters)
+
+    def merge_lists(s_list, t_list, n_s_ent, ns_rows, nt_rows):
+        """[1, total_pad] worklist: sphere entries first, then triangle
+        entries shifted down — selected arithmetically (rank-match
+        reduce), no dynamic slicing."""
+        part = jnp.concatenate(
+            [s_list, jnp.full((1, total_pad - ns_rows), -1, jnp.int32)], axis=1
+        )
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, total_pad), 1)
+        t_j = jnp.clip(j_iota - n_s_ent, 0, nt_rows - 1)
+        t_gathered = jnp.sum(
+            jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (nt_rows, total_pad), 0)
+                == t_j,
+                jnp.broadcast_to(t_list.T, (nt_rows, total_pad)),
+                0,
+            ),
+            axis=0,
+            keepdims=True,
+        )
+        return jnp.where(j_iota < n_s_ent, part, t_gathered)
+
+    def dma_worklist(wl):
+        # Whole-buffer DMA to SMEM (slices would need 128-lane alignment).
+        wl_vmem[0:1, :] = wl
+        copy = pltpu.make_async_copy(wl_vmem, wl_smem, dma_sem)
+        copy.start()
+        copy.wait()
+
+    # ---- phase A0: entered-super worklist ---------------------------------
+    s_sup_mask = slab_any(ssup_ref[:, :])  # [Ss, 1]
+    t_sup_mask = slab_any(tsup_ref[:, :])
+    n_s_sup_ent = jnp.sum(s_sup_mask)
+    sup_count = n_s_sup_ent + jnp.sum(t_sup_mask)
+    dma_worklist(
+        merge_lists(
+            compact(s_sup_mask, 0),
+            compact(t_sup_mask, n_s_supers),
+            n_s_sup_ent,
+            n_s_supers,
+            n_t_supers,
+        )
+    )
+
+    # ---- phase A: cluster masks for entered supers only -------------------
+    def a_sphere(j, _):
+        cluster_chunk_masks(scl_ref, wl_smem[0, j], 0)
+        return _
+
+    def a_tri(j, _):
+        cluster_chunk_masks(tcl_ref, wl_smem[0, j] - n_s_supers, n_s_clusters)
+        return _
+
+    def while_range(lo, hi, fn):
+        def cond(c):
+            return c < hi
+
+        def body(c):
+            fn(c, 0)
+            return c + 1
+
+        jax.lax.while_loop(cond, body, lo)
+
+    while_range(jnp.int32(0), n_s_sup_ent, a_sphere)
+    while_range(n_s_sup_ent, sup_count, a_tri)
+
+    # ---- phase B: entered-cluster worklist --------------------------------
     s_mask = mask_scr[0:n_s_clusters, 0:1]
     t_mask = mask_scr[n_s_clusters : n_s_clusters + n_t_clusters, 0:1]
 
@@ -678,31 +754,9 @@ def _worklist_kernel(
 
     s_list = compact(s_mask, 0)  # [1, ms]
     t_list = compact(t_mask, n_s_clusters)  # [1, mt], ids tagged +ms
-    wl_sphere_part = jnp.concatenate(
-        [s_list, jnp.full((1, total_pad - n_s_clusters), -1, jnp.int32)], axis=1
+    dma_worklist(
+        merge_lists(s_list, t_list, n_s_entered, n_s_clusters, n_t_clusters)
     )
-    # Entry j comes from the sphere list when j < n_s_entered, else from
-    # the triangle list shifted down by n_s_entered — selected
-    # arithmetically (rank-match reduce), no dynamic slicing.
-    j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, total_pad), 1)
-    t_j = jnp.clip(j_iota - n_s_entered, 0, n_t_clusters - 1)  # [1, total_pad]
-    t_gathered = jnp.sum(
-        jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (n_t_clusters, total_pad), 0)
-            == t_j,
-            jnp.broadcast_to(t_list.T, (n_t_clusters, total_pad)),
-            0,
-        ),
-        axis=0,
-        keepdims=True,
-    )  # [1, total_pad]
-    wl = jnp.where(j_iota < n_s_entered, wl_sphere_part, t_gathered)
-
-    # Whole-buffer DMA to SMEM (slices would need 128-lane alignment).
-    wl_vmem[0:1, :] = wl
-    copy = pltpu.make_async_copy(wl_vmem, wl_smem, dma_sem)
-    copy.start()
-    copy.wait()
 
     # ---- phase C: branchless loop over entered clusters only.  Rays are
     # re-read transposed once (sublane-major) so prim chunks ([fields, 128]
@@ -915,8 +969,10 @@ MAX_WORKLIST_CLUSTERS = 1024  # compaction builds an [M, M] match matrix
 )
 def cluster_worklist_nearest(
     rays: jnp.ndarray,  # f32[8, N]
+    sph_super: jnp.ndarray,  # f32[Ss, 8] AABBs of 64-cluster groups
     sph_cluster: jnp.ndarray,  # f32[Ms_pad, 8] sublane-major AABBs
     sph_slots: jnp.ndarray,  # f32[4, Ms_pad*128]
+    tri_super: jnp.ndarray,  # f32[St, 8]
     tri_cluster: jnp.ndarray,  # f32[Mt_pad, 8]
     tri_slots: jnp.ndarray,  # f32[12, Mt_pad*128]
     n_sph_slots: int,
@@ -927,18 +983,23 @@ def cluster_worklist_nearest(
     tri_slot_base: int = 0,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Branchless clustered nearest hit (see _worklist_kernel).
+    """Branchless hierarchical clustered nearest hit (see _worklist_kernel).
 
     ``*_slot_base`` globalize winner ids for paged tables (scene.py
-    ClusterPage).  Returns (t f32[N], slot id i32[N]; -1 = miss)."""
+    ClusterPage).  Supers are the AABBs of consecutive 64-cluster groups
+    (cluster.build_clusters emits them in that layout).
+    Returns (t f32[N], slot id i32[N]; -1 = miss)."""
     n = rays.shape[1]
     ms = sph_cluster.shape[0]
     mt = tri_cluster.shape[0]
     assert n % RAY_TILE == 0
     assert ms + mt <= MAX_WORKLIST_CLUSTERS, "split into pages (ClusterPage)"
+    assert sph_super.shape[0] * 64 >= ms and tri_super.shape[0] * 64 >= mt
 
     kernel = functools.partial(
         _worklist_kernel,
+        n_s_supers=sph_super.shape[0],
+        n_t_supers=tri_super.shape[0],
         n_s_clusters=ms,
         n_t_clusters=mt,
         n_sph_slots=int(n_sph_slots),
@@ -956,8 +1017,10 @@ def cluster_worklist_nearest(
         grid=(n // RAY_TILE,),
         in_specs=[
             pl.BlockSpec((8, RAY_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            full(sph_super),
             full(sph_cluster),
             full(sph_slots),
+            full(tri_super),
             full(tri_cluster),
             full(tri_slots),
         ],
@@ -978,7 +1041,7 @@ def cluster_worklist_nearest(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(rays, sph_cluster, sph_slots, tri_cluster, tri_slots)
+    )(rays, sph_super, sph_cluster, sph_slots, tri_super, tri_cluster, tri_slots)
     return t[0], idx[0]
 
 

@@ -86,6 +86,10 @@ class ClusterPage(struct.PyTreeNode):
     sph_slots: jnp.ndarray  # f32[4, Ms_pad*128]
     tri_cluster: jnp.ndarray  # f32[Mt_pad, 8]
     tri_slots: jnp.ndarray  # f32[12, Mt_pad*128]
+    # Super AABBs (one per 64-cluster group of this page) for the
+    # hierarchical phase A of the worklist kernel.
+    sph_super: jnp.ndarray | None = None  # f32[Ms_pad/64, 8]
+    tri_super: jnp.ndarray | None = None  # f32[Mt_pad/64, 8]
     sph_slot_base: int = struct.field(pytree_node=False, default=0)
     tri_slot_base: int = struct.field(pytree_node=False, default=0)
 
@@ -526,6 +530,9 @@ class SceneBuilder:
         dummy_cl[:, 3:6] = -np.inf
         dummy_sph = np.zeros((4, 64 * 128), np.float32)
         dummy_tri = np.zeros((12, 64 * 128), np.float32)
+        dummy_sup = np.zeros((1, 8), np.float32)
+        dummy_sup[:, 0:3] = np.inf
+        dummy_sup[:, 3:6] = -np.inf
 
         pages = []
         ms = s_cl.shape[0]
@@ -540,6 +547,8 @@ class SceneBuilder:
                     sph_slots=jnp.asarray(sph_slot_tab),
                     tri_cluster=jnp.asarray(t_cl),
                     tri_slots=jnp.asarray(tri_slot_tab),
+                    sph_super=jnp.asarray(s_sup),
+                    tri_super=jnp.asarray(t_sup),
                     sph_slot_base=0,
                     tri_slot_base=0,
                 )
@@ -552,6 +561,8 @@ class SceneBuilder:
                         sph_slots=jnp.asarray(sph_slot_tab[:, lo * 128 : hi * 128]),
                         tri_cluster=jnp.asarray(dummy_cl),
                         tri_slots=jnp.asarray(dummy_tri),
+                        sph_super=jnp.asarray(s_sup[lo // 64 : -(-hi // 64)]),
+                        tri_super=jnp.asarray(dummy_sup),
                         sph_slot_base=lo * 128,
                         tri_slot_base=0,
                     )
@@ -563,6 +574,8 @@ class SceneBuilder:
                         sph_slots=jnp.asarray(dummy_sph),
                         tri_cluster=jnp.asarray(t_cl[lo:hi]),
                         tri_slots=jnp.asarray(tri_slot_tab[:, lo * 128 : hi * 128]),
+                        sph_super=jnp.asarray(dummy_sup),
+                        tri_super=jnp.asarray(t_sup[lo // 64 : -(-hi // 64)]),
                         sph_slot_base=0,
                         tri_slot_base=lo * 128,
                     )

@@ -238,8 +238,10 @@ def _render_fast(
             for page in cl.pages:
                 t_p, s_p = pallas_ops.cluster_worklist_nearest(
                     rays,
+                    page.sph_super,
                     page.sph_cluster,
                     page.sph_slots,
+                    page.tri_super,
                     page.tri_cluster,
                     page.tri_slots,
                     cl.n_sph_slots,

@@ -128,7 +128,8 @@ def test_worklist_kernel_matches_rows(rng):
     rays_j = jnp.asarray(rays)
 
     t_k, slot_k = cluster_worklist_nearest(
-        rays_j, cl.sph_cluster, cl.sph_slots, cl.tri_cluster, cl.tri_slots,
+        rays_j, cl.sph_super, cl.sph_cluster, cl.sph_slots,
+        cl.tri_super, cl.tri_cluster, cl.tri_slots,
         cl.n_sph_slots, 1e-3, 1e9, True, interpret=True,
     )
     t_s, _ = fast_shade.sphere_nearest_rows(scene, rays_j, 1e-3, 1e9)
@@ -179,7 +180,8 @@ def test_paged_worklist_matches_single_page(rng):
 
     args = dict(t_min=1e-3, t_max=1e9, backface_cull=True, interpret=True)
     t_ref, s_ref = cluster_worklist_nearest(
-        rays_j, cl.sph_cluster, cl.sph_slots, cl.tri_cluster, cl.tri_slots,
+        rays_j, cl.sph_super, cl.sph_cluster, cl.sph_slots,
+        cl.tri_super, cl.tri_cluster, cl.tri_slots,
         cl.n_sph_slots, **args,
     )
 
@@ -190,8 +192,10 @@ def test_paged_worklist_matches_single_page(rng):
         hi = min(lo + half, ms)
         t_p, s_p = cluster_worklist_nearest(
             rays_j,
+            cl.sph_super[lo // 64 : -(-hi // 64)],
             cl.sph_cluster[lo:hi],
             cl.sph_slots[:, lo * 128 : hi * 128],
+            cl.tri_super,
             cl.tri_cluster,
             cl.tri_slots,
             cl.n_sph_slots,
