@@ -88,6 +88,10 @@ class RenderConfig:
     # much as it saves on the scenes measured so far (ROADMAP) — off by
     # default; images are identical either way.
     sort_rays: bool = False
+    # Sort cadence: permute the pool on iterations where it % sort_every == 0
+    # (1 = every iteration).  Bounce directions decorrelate slowly, so a
+    # stale order keeps most of the coherence at a fraction of the sort cost.
+    sort_every: int = 4
     # Renderer selection: "wavefront" (persistent wavefront, two device
     # programs per bounce), "megakernel" (whole bounce loop in one Pallas
     # call — requires megakernel.eligible(scene) and a TPU backend), or

@@ -359,11 +359,17 @@ def _mega_kernel(
         # ---- claims -------------------------------------------------------
         active = si[2:3, :] > 0
         idle = ~active
-        # Default precision is fine HERE: both operands are exact 0/1 (bf16
-        # representable) and the MXU accumulates in f32.
-        incl = jnp.dot(
-            jnp.where(idle, 1.0, 0.0), lt, preferred_element_type=f32
-        )  # [1,R] inclusive idle count
+        if "noclaims" in ablate:  # timing ablation: skip the rank matmul
+            # (wrong ranks — lane iota stands in for the idle prefix count)
+            incl = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, R), 1).astype(f32) + 1.0
+            )
+        else:
+            # Default precision is fine HERE: both operands are exact 0/1
+            # (bf16 representable) and the MXU accumulates in f32.
+            incl = jnp.dot(
+                jnp.where(idle, 1.0, 0.0), lt, preferred_element_type=f32
+            )  # [1,R] inclusive idle count
         claim_id = next_work + incl.astype(jnp.int32) - 1
         claim = idle & (claim_id < total_work)
         n_claimed = jnp.sum(jnp.where(claim, 1, 0))
@@ -376,9 +382,15 @@ def _mega_kernel(
 
         # Halton jitter (sampling.halton_pair parity: 1-based position).
         posu = (samp + 1).astype(jnp.uint32)
-        off_u = _radical2(posu)
-        off_v = _radical3(posu)
-        if not shared_halton_jitter:
+        if "nocamera" in ablate:  # timing ablation: constant jitter/sample
+            off_u = jnp.full((1, R), 0.25, f32)
+            off_v = jnp.full((1, R), 0.75, f32)
+        else:
+            off_u = _radical2(posu)
+            off_v = _radical3(posu)
+        if "nocamera" in ablate:
+            pass
+        elif not shared_halton_jitter:
             su = _uniform(seed, pix, jnp.zeros_like(pix), 5)
             sv = _uniform(seed, pix, jnp.zeros_like(pix), 6)
             off_u = off_u + su
@@ -509,7 +521,11 @@ def _mega_kernel(
             better = cmin < bt
             return (jnp.where(better, cmin, bt), jnp.where(better, sel, bi))
 
-        if packed_select:
+        if "nointersect" in ablate:  # timing ablation: constant near hit
+            hit = jnp.full((1, R), True)
+            t = jnp.full((1, R), 1.0, f32)
+            prim = jnp.zeros((1, R), jnp.int32)
+        elif packed_select:
             best = jnp.full((1, R), big_key | id_mask, jnp.int32)
             best = jax.lax.fori_loop(0, n_sph_chunks, sph_chunk, best) if n_sph_chunks else best
             best = jax.lax.fori_loop(0, n_tri_chunks, tri_chunk, best) if n_tri_chunks else best
@@ -682,17 +698,26 @@ def _mega_kernel(
 
         # Scatter draws (rng purposes 3..10, fast_shade parity).
         z = jnp.zeros_like(gid)
-        ux3 = _uniform(seed, gid, depth, 3) * 2.0 - 1.0
-        uy3 = _uniform(seed, gid, depth, 4) * 2.0 - 1.0
-        uz3 = _uniform(seed, gid, depth, 5) * 2.0 - 1.0
-        inv_n1 = 1.0 / jnp.maximum(jnp.sqrt(ux3 * ux3 + uy3 * uy3 + uz3 * uz3), 1e-12)
-        r1x, r1y, r1z = ux3 * inv_n1, uy3 * inv_n1, uz3 * inv_n1
-        vx3 = _uniform(seed, gid, depth, 6) * 2.0 - 1.0
-        vy3 = _uniform(seed, gid, depth, 7) * 2.0 - 1.0
-        vz3 = _uniform(seed, gid, depth, 8) * 2.0 - 1.0
-        inv_n2 = 1.0 / jnp.maximum(jnp.sqrt(vx3 * vx3 + vy3 * vy3 + vz3 * vz3), 1e-12)
-        r2x, r2y, r2z = vx3 * inv_n2, vy3 * inv_n2, vz3 * inv_n2
-        noise = _uniform(seed, gid, depth, 9)
+        if "norng" in ablate:  # timing ablation: constant draws
+            c3 = jnp.full((1, R), 0.577, f32)
+            r1x = r1y = r1z = r2x = r2y = r2z = c3
+            noise = jnp.full((1, R), 0.4, f32)
+        else:
+            ux3 = _uniform(seed, gid, depth, 3) * 2.0 - 1.0
+            uy3 = _uniform(seed, gid, depth, 4) * 2.0 - 1.0
+            uz3 = _uniform(seed, gid, depth, 5) * 2.0 - 1.0
+            inv_n1 = 1.0 / jnp.maximum(
+                jnp.sqrt(ux3 * ux3 + uy3 * uy3 + uz3 * uz3), 1e-12
+            )
+            r1x, r1y, r1z = ux3 * inv_n1, uy3 * inv_n1, uz3 * inv_n1
+            vx3 = _uniform(seed, gid, depth, 6) * 2.0 - 1.0
+            vy3 = _uniform(seed, gid, depth, 7) * 2.0 - 1.0
+            vz3 = _uniform(seed, gid, depth, 8) * 2.0 - 1.0
+            inv_n2 = 1.0 / jnp.maximum(
+                jnp.sqrt(vx3 * vx3 + vy3 * vy3 + vz3 * vz3), 1e-12
+            )
+            r2x, r2y, r2z = vx3 * inv_n2, vy3 * inv_n2, vz3 * inv_n2
+            noise = _uniform(seed, gid, depth, 9)
 
         lx, ly, lz = nx + r1x, ny + r1y, nz + r1z
         near_zero = (
@@ -750,6 +775,16 @@ def _mega_kernel(
         att_r = jnp.where(is_diel, 1.0, tr)
         att_g = jnp.where(is_diel, 1.0, tg)
         att_b = jnp.where(is_diel, 1.0, tb)
+        if "noshade" in ablate:  # timing ablation: the whole material /
+            # texture / scatter block above goes dead and DCEs away.
+            c5 = jnp.full((1, R), 0.5, f32)
+            nx = ny = jnp.zeros((1, R), f32)
+            nz = jnp.ones((1, R), f32)
+            front = jnp.full((1, R), True)
+            tr = tg = tb = c5
+            new_dx, new_dy, new_dz = -dx, -dy, -dz
+            att_r = att_g = att_b = c5
+            is_emissive = jnp.full((1, R), False)
 
         p_rr = jnp.clip(jnp.maximum(jnp.maximum(att_r, att_g), att_b), 0.0, rr_clamp)
         survive = _uniform(seed, gid, depth, 10) < p_rr
@@ -871,7 +906,10 @@ def _mega_kernel(
         return (next_work + n_claimed, n_active, it + 1)
 
     def cond(carry):
-        next_work, n_active, _ = carry
+        next_work, n_active, it = carry
+        if "fixiters:" in ablate:  # timing instrument: exact trip count
+            n = int(ablate.split("fixiters:")[1].split()[0])
+            return it < n
         return (next_work < total_work) | (n_active > 0)
 
     _, _, n_iters = jax.lax.while_loop(

@@ -198,7 +198,13 @@ def _render_fast(
         chunks only when NO ray in a 256-lane tile enters them, so bounce
         coherence directly multiplies its effectiveness.  Lane order does
         not affect the image (RNG keys on (sample, pixel); claims assign
-        the same contiguous work range either way)."""
+        the same contiguous work range either way).
+
+        The round-1 form permuted six arrays separately (~5 ms/iter at
+        B=64k, perf-neutral overall, ROADMAP item 3); this one bit-packs
+        the whole state into ONE [16, B] f32 buffer so the permutation is
+        a single gather, and callers additionally amortize via
+        ``cfg.sort_every``."""
         oct_ = (
             (rays[3] > 0).astype(jnp.int32) * 4
             + (rays[4] > 0).astype(jnp.int32) * 2
@@ -210,13 +216,28 @@ def _render_fast(
             cell = cell * 32 + (nc * 32.0).astype(jnp.int32)
         key = jnp.where(active, cell * 8 + oct_, jnp.int32(1 << 20))
         perm = jnp.argsort(key)
+        as_f32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)[None, :]
+        packed = jnp.concatenate(
+            [
+                rays[0:6],
+                tp,
+                as_f32(work),
+                as_f32(gid),
+                as_f32(depth),
+                as_f32(active.astype(jnp.int32)),
+                jnp.zeros((3, rays.shape[1]), jnp.float32),
+            ],
+            axis=0,
+        )[:, perm]
+        as_i32 = lambda r: jax.lax.bitcast_convert_type(r, jnp.int32)
+        zeros2 = jnp.zeros((2, rays.shape[1]), jnp.float32)
         return (
-            rays[:, perm],
-            tp[:, perm],
-            work[perm],
-            gid[perm],
-            depth[perm],
-            active[perm],
+            jnp.concatenate([packed[0:6], zeros2], axis=0),
+            packed[6:9],
+            as_i32(packed[9]),
+            as_i32(packed[10]),
+            as_i32(packed[11]),
+            as_i32(packed[12]) > 0,
         )
 
     def intersect(rays, n):
@@ -310,9 +331,19 @@ def _render_fast(
             next_work = s["next_work"]
 
         if use_cluster and cfg.sort_rays:
-            rays, tp, work, gid, depth, active = sort_pool(
-                rays, tp, work, gid, depth, active
-            )
+            if cfg.sort_every > 1:
+                # Amortized cadence: a real branch (lax.cond) so skipped
+                # iterations pay nothing for the argsort + gather.
+                rays, tp, work, gid, depth, active = jax.lax.cond(
+                    s["it"] % cfg.sort_every == 0,
+                    sort_pool,
+                    lambda *a: a,
+                    rays, tp, work, gid, depth, active,
+                )
+            else:
+                rays, tp, work, gid, depth, active = sort_pool(
+                    rays, tp, work, gid, depth, active
+                )
 
         t_best, prim, params = intersect(rays, n)
         out = fast_shade.shade_bounce(
@@ -364,6 +395,7 @@ def _render_fast(
             active=cont,
             n_active=jnp.sum(cont.astype(jnp.int32)),
             next_work=next_work,
+            it=s["it"] + 1,
         )
 
     # Zeros derived from the (possibly sharded) pixel array: under
@@ -388,6 +420,7 @@ def _render_fast(
         active=jnp.zeros((b,), bool) | (zi > 0),
         n_active=jnp.int32(0) + zi,
         next_work=jnp.int32(0) + zi,
+        it=jnp.int32(0) + zi,
     )
 
     tail = 4096
@@ -417,6 +450,7 @@ def _render_fast(
             active=state["active"][order],
             n_active=state["n_active"],
             next_work=state["next_work"],
+            it=state["it"],
         )
 
         def cond2(s):
