@@ -29,15 +29,28 @@ def main() -> None:
     img = render_pixel_colors(scene, camera, cfg)
     jax.block_until_ready(img)
 
-    reps = 5
+    # Throughput over a pipeline of progressive sweeps (distinct sample
+    # offsets), one device sync at the end — the reference's cumulative
+    # Mray/s counter semantics (window.rs:315-324: total rays so far /
+    # elapsed).  Per-sweep blocking would charge each frame a full host
+    # round-trip (~28 ms through this harness's TPU tunnel), which is
+    # harness latency, not renderer throughput; a progressive render
+    # (progressive.py) keeps sweeps in flight exactly like this.
+    sweeps = 8
+    trials = 3
     best = float("inf")
-    for i in range(reps):
+    for _ in range(trials):
         t0 = time.perf_counter()
-        img = render_pixel_colors(scene, camera, cfg)
-        jax.block_until_ready(img)
+        imgs = [
+            render_pixel_colors(
+                scene, camera, cfg, sample_offset=i * cfg.samples_per_pixel
+            )
+            for i in range(sweeps)
+        ]
+        jax.block_until_ready(imgs)
         best = min(best, time.perf_counter() - t0)
 
-    rays = cfg.samples_per_pixel * camera.image_width * camera.image_height
+    rays = sweeps * cfg.samples_per_pixel * camera.image_width * camera.image_height
     mray_s = rays / 1.0e6 / best
     print(
         json.dumps(

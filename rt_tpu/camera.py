@@ -36,6 +36,14 @@ class Camera(struct.PyTreeNode):
     defocus_angle: jnp.ndarray  # () degrees; <= 0 disables defocus
     image_width: int = struct.field(pytree_node=False, default=800)
     image_height: int = struct.field(pytree_node=False, default=600)
+    # Static mirror of ``defocus_angle > 0`` recorded at construction when
+    # the angle is a concrete host value.  Renderers that specialize on
+    # defocus (megakernel) read this instead of syncing the device scalar
+    # (one blocking host round-trip per frame — ~28 ms through the axon
+    # tunnel, which would serialize pipelined progressive sweeps).  None =
+    # unknown (e.g. a traced/optimized camera): callers fall back to the
+    # device read.
+    defocus_on: bool | None = struct.field(pytree_node=False, default=None)
 
     # -- ray generation ----------------------------------------------------
 
@@ -146,6 +154,10 @@ def make_camera(
     pixel00_loc = vp_upper_left + (pixel_du + pixel_dv) / 2.0
 
     defocus_radius = focus_distance * jnp.tan(jnp.deg2rad(defocus_angle / 2.0))
+    try:
+        defocus_on = bool(float(defocus_angle) > 0.0)
+    except Exception:  # traced / abstract value: leave unknown
+        defocus_on = None
     return Camera(
         center=center,
         pixel00_loc=pixel00_loc,
@@ -156,4 +168,5 @@ def make_camera(
         defocus_angle=jnp.asarray(defocus_angle, jnp.float32),
         image_width=int(image_width),
         image_height=int(image_height),
+        defocus_on=defocus_on,
     )

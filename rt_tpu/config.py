@@ -95,8 +95,10 @@ class RenderConfig:
     # Renderer selection: "wavefront" (persistent wavefront, two device
     # programs per bounce), "megakernel" (whole bounce loop in one Pallas
     # call — requires megakernel.eligible(scene) and a TPU backend), or
-    # "auto" (megakernel where eligible, wavefront otherwise).
-    renderer: str = "wavefront"
+    # "auto" (megakernel where eligible, wavefront otherwise).  Default
+    # auto: on v5e the megakernel measured ~3x the wavefront's device
+    # throughput on the bench scene (parity pinned by test_megakernel.py).
+    renderer: str = "auto"
     compat: CompatConfig = dataclasses.field(default_factory=CompatConfig)
 
     def replace(self, **kw) -> "RenderConfig":

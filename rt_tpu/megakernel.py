@@ -59,9 +59,13 @@ from rt_tpu import fast_shade
 
 BIG = np.float32(3.0e38)
 
-# Default pool geometry (overridable for tests/tuning).
-LANES = 256  # ray lanes per grid program (pool size per tile)
-TILE_PIXELS = 2048  # pixels owned per grid program (multiple of 256)
+# Default pool geometry (overridable for tests/tuning).  Swept on v5e
+# (2026-08-17, 400x225@10spp cover): R=512/NP=8192 won at 4.7 us/iter
+# with the pool at the information-theoretic minimum iteration count;
+# R=1024 measured 11.8 us/iter (VMEM pressure from the [R,R] claim
+# matrix), R=256 pays more iterations than its cheaper step saves.
+LANES = 512  # ray lanes per grid program (pool size per tile)
+TILE_PIXELS = 8192  # pixels owned per grid program (multiple of 256)
 SPHERE_CHUNK = 128
 TRI_CHUNK = 64  # tri_packed is padded to 64 rows (scene.py)
 
@@ -919,6 +923,12 @@ def _mega_kernel(
     out_ref[:, :] = acc[:, :]
 
 
+def _hilo_rows(x):
+    """Exact bf16 high part + f32 residual (DEFAULT-precision matmul fuel)."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -943,6 +953,7 @@ def _mega_kernel(
         "lanes",
         "tile_pixels",
         "n_tiles",
+        "n_pixels",
         "interpret",
         "sky_model",
         "ablate",
@@ -951,10 +962,13 @@ def _mega_kernel(
 def _mega_call(
     sph_packed,
     tri_packed,
-    shade_table,
-    atlas_planar,
-    pf,
-    pi,
+    shade_table_raw,  # f32[F, P_pad] (un-split; hi/lo built in-trace)
+    atlas,  # f32[AH, AW, 3] image atlas or None
+    camera,
+    sky,
+    key,
+    sample_offset,
+    pixel_base,
     *,
     spp,
     width,
@@ -977,10 +991,72 @@ def _mega_call(
     lanes,
     tile_pixels,
     n_tiles,
+    n_pixels,
     interpret,
     sky_model,
     ablate,
 ):
+    """One fused device program: scalar-param packing, hi/lo table splits,
+    AND the megakernel itself.  Everything before the ``pallas_call`` used
+    to run eagerly in ``render_megakernel`` — ~40 tiny dispatches that cost
+    ~97 ms/frame through the axon tunnel (measured 2026-08-17: c_call
+    ~97 ms vs 3.4 us/iter of actual kernel), swamping the kernel 3:1 on
+    the bench scene.  Inside one jit they compile to microseconds."""
+    from rt_tpu.wavefront import _seed_from_key
+
+    seed = _seed_from_key(key)
+    sun = sky.sun_direction / jnp.linalg.norm(sky.sun_direction)
+    theta_s = sky_mod._safe_arccos(jnp.clip(sun[2], 0.0, 1.0))
+    cos_theta_s = jnp.cos(theta_s)
+    coef_y, coef_x, coef_yc = sky_mod.perez_coefficients(sky.turbidity)
+    yz, xz, yzc = sky_mod.zenith_values(sky.turbidity, theta_s)
+    one = jnp.asarray(1.0, jnp.float32)
+    den_y = sky_mod._perez(coef_y, one, theta_s, cos_theta_s)
+    den_x = sky_mod._perez(coef_x, one, theta_s, cos_theta_s)
+    den_yc = sky_mod._perez(coef_yc, one, theta_s, cos_theta_s)
+
+    pf = jnp.zeros((1, _P_F32_LEN), jnp.float32)
+    pf = pf.at[0, _P_PIX00 : _P_PIX00 + 3].set(camera.pixel00_loc)
+    pf = pf.at[0, _P_DU : _P_DU + 3].set(camera.pixel_du)
+    pf = pf.at[0, _P_DV : _P_DV + 3].set(camera.pixel_dv)
+    pf = pf.at[0, _P_DKU : _P_DKU + 3].set(camera.defocus_disk_u)
+    pf = pf.at[0, _P_DKV : _P_DKV + 3].set(camera.defocus_disk_v)
+    pf = pf.at[0, _P_CENTER : _P_CENTER + 3].set(camera.center)
+    pf = pf.at[0, _P_SUN : _P_SUN + 3].set(sun)
+    pf = pf.at[0, _P_COEF_Y : _P_COEF_Y + 5].set(coef_y)
+    pf = pf.at[0, _P_COEF_X : _P_COEF_X + 5].set(coef_x)
+    pf = pf.at[0, _P_COEF_YC : _P_COEF_YC + 5].set(coef_yc)
+    pf = pf.at[0, _P_ZY].set(yz / den_y * sky.exposure)
+    pf = pf.at[0, _P_ZX].set(xz / den_x)
+    pf = pf.at[0, _P_ZYC].set(yzc / den_yc)
+    if sky_model == "hosek":
+        hw = jnp.asarray(sky.hw_params, jnp.float32)
+        hw = hw.at[:, 9].set(hw[:, 9] * sky.exposure)  # premultiply exposure
+        pf = pf.at[0, _P_HW : _P_HW + 30].set(hw.reshape(-1))
+
+    pi = jnp.zeros((1, _PI_I32_LEN), jnp.int32)
+    pi = pi.at[0, _PI_SEED].set(seed.astype(jnp.int32))
+    pi = pi.at[0, _PI_SAMPLE_OFF].set(jnp.asarray(sample_offset, jnp.int32))
+    pi = pi.at[0, _PI_PIX_BASE].set(jnp.asarray(pixel_base, jnp.int32))
+
+    # Channel-planar atlas [3*AH, 2*AW_pad] (hi | lo bf16 split along the
+    # column axis) for the in-kernel one-hot fetch at DEFAULT precision.
+    if has_images:
+        ah, aw = atlas.shape[0], atlas.shape[1]
+        aw_pad = max(-(-aw // 128) * 128, 128)
+        flat_planes = jnp.transpose(atlas, (2, 0, 1)).reshape(3 * ah, aw)
+        p_hi, p_lo = _hilo_rows(flat_planes)
+        atlas_planar = jnp.zeros((3 * ah, 2 * aw_pad), jnp.float32)
+        atlas_planar = atlas_planar.at[:, :aw].set(p_hi)
+        atlas_planar = atlas_planar.at[:, aw_pad : aw_pad + aw].set(p_lo)
+    else:
+        atlas_planar = jnp.zeros((3, 256), jnp.float32)
+
+    # Shade table rows stacked hi | lo for the single DEFAULT-precision
+    # parameter-fetch matmul (see _mega_kernel).
+    t_hi, t_lo = _hilo_rows(shade_table_raw)
+    shade_table = jnp.concatenate([t_hi, t_lo], axis=0)
+
     nq = tile_pixels // 256
     nqp = max(-(-nq // 8) * 8, 8)  # padded per-channel rows (see _mega_kernel)
     atlas_h = atlas_planar.shape[0] // 3
@@ -1037,10 +1113,12 @@ def _mega_call(
         ],
         interpret=interpret,
     )(pf, pi, sph_packed, tri_packed, shade_table, atlas_planar)
-    # [tiles*3NQP, 256] -> drop channel pad rows -> [3, tiles*NP]
+    # [tiles*3NQP, 256] -> drop channel pad rows -> [3, tiles*NP] ->
+    # slice off the tail-tile padding and mean over spp, all in-trace.
     out = out.reshape(n_tiles, 3, nqp, 256)[:, :, :nq, :]
     out = jnp.transpose(out, (1, 0, 2, 3)).reshape(3, n_tiles * tile_pixels)
-    return out.T, iters
+    img = out.T[:n_pixels] * jnp.float32(1.0 / spp)
+    return img, iters
 
 
 def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
@@ -1083,10 +1161,10 @@ def render_megakernel(
     [pixel_base, pixel_base + n_pixels) — megakernel analog of
     wavefront.render_wavefront for contiguous pixel sets.
 
-    Must be called OUTSIDE jit (static camera flags are read concretely).
+    The only eager work here is reading the static flags (one
+    ``defocus_angle`` device read); every array op lives inside the
+    single-dispatch ``_mega_call`` jit.
     """
-    from rt_tpu.wavefront import _seed_from_key
-
     n_pixels = (
         camera.image_width * camera.image_height if n_pixels is None else n_pixels
     )
@@ -1099,78 +1177,27 @@ def render_megakernel(
         tile_pixels //= 2
     n_tiles = -(-n_pixels // tile_pixels)
 
-    seed = _seed_from_key(key)
     sky = scene.sky
-    sun = sky.sun_direction / jnp.linalg.norm(sky.sun_direction)
-    theta_s = sky_mod._safe_arccos(jnp.clip(sun[2], 0.0, 1.0))
-    cos_theta_s = jnp.cos(theta_s)
-    coef_y, coef_x, coef_yc = sky_mod.perez_coefficients(sky.turbidity)
-    yz, xz, yzc = sky_mod.zenith_values(sky.turbidity, theta_s)
-    one = jnp.asarray(1.0, jnp.float32)
-    den_y = sky_mod._perez(coef_y, one, theta_s, cos_theta_s)
-    den_x = sky_mod._perez(coef_x, one, theta_s, cos_theta_s)
-    den_yc = sky_mod._perez(coef_yc, one, theta_s, cos_theta_s)
-
-    pf = jnp.zeros((1, _P_F32_LEN), jnp.float32)
-    pf = pf.at[0, _P_PIX00 : _P_PIX00 + 3].set(camera.pixel00_loc)
-    pf = pf.at[0, _P_DU : _P_DU + 3].set(camera.pixel_du)
-    pf = pf.at[0, _P_DV : _P_DV + 3].set(camera.pixel_dv)
-    pf = pf.at[0, _P_DKU : _P_DKU + 3].set(camera.defocus_disk_u)
-    pf = pf.at[0, _P_DKV : _P_DKV + 3].set(camera.defocus_disk_v)
-    pf = pf.at[0, _P_CENTER : _P_CENTER + 3].set(camera.center)
-    pf = pf.at[0, _P_SUN : _P_SUN + 3].set(sun)
-    pf = pf.at[0, _P_COEF_Y : _P_COEF_Y + 5].set(coef_y)
-    pf = pf.at[0, _P_COEF_X : _P_COEF_X + 5].set(coef_x)
-    pf = pf.at[0, _P_COEF_YC : _P_COEF_YC + 5].set(coef_yc)
-    pf = pf.at[0, _P_ZY].set(yz / den_y * sky.exposure)
-    pf = pf.at[0, _P_ZX].set(xz / den_x)
-    pf = pf.at[0, _P_ZYC].set(yzc / den_yc)
-    sky_model = "perez"
-    if sky.hw_params is not None:
-        sky_model = "hosek"
-        hw = jnp.asarray(sky.hw_params, jnp.float32)
-        hw = hw.at[:, 9].set(hw[:, 9] * sky.exposure)  # premultiply exposure
-        pf = pf.at[0, _P_HW : _P_HW + 30].set(hw.reshape(-1))
-
-    pi = jnp.zeros((1, _PI_I32_LEN), jnp.int32)
-    pi = pi.at[0, _PI_SEED].set(seed.astype(jnp.int32))
-    pi = pi.at[0, _PI_SAMPLE_OFF].set(jnp.asarray(sample_offset, jnp.int32))
-    pi = pi.at[0, _PI_PIX_BASE].set(jnp.int32(pixel_base))
-
-    use_defocus = bool(np.asarray(camera.defocus_angle) > 0.0)
+    sky_model = "perez" if sky.hw_params is None else "hosek"
+    use_defocus = (
+        camera.defocus_on
+        if camera.defocus_on is not None
+        else bool(np.asarray(camera.defocus_angle) > 0.0)
+    )
+    has_images = bool(scene.has_image_textures)
     s_pad = scene.sph_packed.shape[0]
     t_pad = scene.tri_packed.shape[0]
 
-    def _hilo_rows(x):
-        hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-        return hi, x - hi
-
-    # Channel-planar atlas [3*AH, 2*AW_pad] (hi | lo bf16 split along the
-    # column axis) for the in-kernel one-hot fetch at DEFAULT precision.
-    has_images = bool(scene.has_image_textures)
-    if has_images:
-        ah, aw = scene.atlas.shape[0], scene.atlas.shape[1]
-        aw_pad = max(-(-aw // 128) * 128, 128)
-        flat_planes = jnp.transpose(scene.atlas, (2, 0, 1)).reshape(3 * ah, aw)
-        p_hi, p_lo = _hilo_rows(flat_planes)
-        planar = jnp.zeros((3 * ah, 2 * aw_pad), jnp.float32)
-        planar = planar.at[:, :aw].set(p_hi)
-        planar = planar.at[:, aw_pad : aw_pad + aw].set(p_lo)
-    else:
-        planar = jnp.zeros((3, 256), jnp.float32)
-
-    # Shade table rows stacked hi | lo for the single DEFAULT-precision
-    # parameter-fetch matmul (see _mega_kernel).
-    t_hi, t_lo = _hilo_rows(scene.shade_table)
-    table_hilo = jnp.concatenate([t_hi, t_lo], axis=0)
-
-    flat, iters = _mega_call(
+    img, iters = _mega_call(
         scene.sph_packed,
         scene.tri_packed,
-        table_hilo,
-        planar,
-        pf,
-        pi,
+        scene.shade_table,
+        scene.atlas if has_images else None,
+        camera,
+        sky,
+        key,
+        sample_offset,
+        pixel_base,
         spp=int(spp),
         width=camera.image_width,
         n_global=n_global,
@@ -1192,11 +1219,11 @@ def render_megakernel(
         lanes=lanes,
         tile_pixels=tile_pixels,
         n_tiles=n_tiles,
+        n_pixels=n_pixels,
         interpret=interpret,
         sky_model=sky_model,
         ablate=ablate,
     )
-    img = flat[:n_pixels] / jnp.float32(spp)
     if return_iters:
         return img, iters
     return img
