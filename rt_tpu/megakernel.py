@@ -525,31 +525,34 @@ def _mega_kernel(
             better = cmin < bt
             return (jnp.where(better, cmin, bt), jnp.where(better, sel, bi))
 
+        def chunk_sweep(n_chunks, fn, carry):
+            """Static python unroll for small chunk counts: the slices
+            become compile-time constants and the Mosaic loop overhead
+            (carry phi + bounds check per step) disappears; fall back to
+            fori_loop only when unrolling would bloat the program."""
+            if not n_chunks:
+                return carry
+            if n_chunks <= 16:
+                for ci in range(n_chunks):
+                    carry = fn(ci, carry)
+                return carry
+            return jax.lax.fori_loop(0, n_chunks, fn, carry)
+
         if "nointersect" in ablate:  # timing ablation: constant near hit
             hit = jnp.full((1, R), True)
             t = jnp.full((1, R), 1.0, f32)
             prim = jnp.zeros((1, R), jnp.int32)
         elif packed_select:
             best = jnp.full((1, R), big_key | id_mask, jnp.int32)
-            best = jax.lax.fori_loop(0, n_sph_chunks, sph_chunk, best) if n_sph_chunks else best
-            best = jax.lax.fori_loop(0, n_tri_chunks, tri_chunk, best) if n_tri_chunks else best
+            best = chunk_sweep(n_sph_chunks, sph_chunk, best)
+            best = chunk_sweep(n_tri_chunks, tri_chunk, best)
             hit = best < big_key
             t = pltpu.bitcast(best & ~id_mask, f32)
             prim = best & id_mask
         else:
-            bt = jnp.full((1, R), BIG, f32)
-            bi = jnp.full((1, R), -1, jnp.int32)
-            carry2 = (bt, bi)
-            carry2 = (
-                jax.lax.fori_loop(0, n_sph_chunks, sph_chunk, carry2)
-                if n_sph_chunks
-                else carry2
-            )
-            carry2 = (
-                jax.lax.fori_loop(0, n_tri_chunks, tri_chunk, carry2)
-                if n_tri_chunks
-                else carry2
-            )
+            carry2 = (jnp.full((1, R), BIG, f32), jnp.full((1, R), -1, jnp.int32))
+            carry2 = chunk_sweep(n_sph_chunks, sph_chunk, carry2)
+            carry2 = chunk_sweep(n_tri_chunks, tri_chunk, carry2)
             t, prim = carry2
             hit = t < BIG
             prim = jnp.where(hit, prim, 0)
