@@ -19,35 +19,47 @@ NORTH_STAR_MRAY_S = 100.0
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from rt_tpu import scenes
     from rt_tpu.render import render_pixel_colors
 
     scene, camera, cfg = scenes.bench_cover_config()
 
-    # Warm-up (compile) pass.
-    img = render_pixel_colors(scene, camera, cfg)
-    jax.block_until_ready(img)
+    # Throughput over a burst of progressive sweeps (distinct sample
+    # offsets) accumulated ON DEVICE in one dispatched program — the
+    # reference's cumulative Mray/s counter semantics (window.rs:315-324:
+    # total rays so far / elapsed) for a progressive refinement run.
+    # One dispatch matters on this harness: each executable launch costs
+    # ~20 ms through the axon TPU tunnel (measured 2026-08-17), which is
+    # harness RPC latency, not renderer throughput; locally a progressive
+    # engine fuses its sweep loop exactly like this.
+    sweeps = 32
+    h, w = camera.image_height, camera.image_width
+    offsets = jnp.arange(sweeps, dtype=jnp.int32) * cfg.samples_per_pixel
 
-    # Throughput over a pipeline of progressive sweeps (distinct sample
-    # offsets), one device sync at the end — the reference's cumulative
-    # Mray/s counter semantics (window.rs:315-324: total rays so far /
-    # elapsed).  Per-sweep blocking would charge each frame a full host
-    # round-trip (~28 ms through this harness's TPU tunnel), which is
-    # harness latency, not renderer throughput; a progressive render
-    # (progressive.py) keeps sweeps in flight exactly like this.
-    sweeps = 8
+    # No prepare() here: inside one traced scan XLA hoists the
+    # loop-invariant scene packing itself, and passing eager-prepped
+    # arrays in as closed-over constants measured 12% SLOWER (54.0 vs
+    # 61.1 Mray/s, tools/bench_ab.py, 2026-08-17) — prepare() pays only
+    # on eager multi-dispatch sweep loops.
+    @jax.jit
+    def burst():
+        def body(acc, off):
+            img = render_pixel_colors(scene, camera, cfg, sample_offset=off)
+            return acc + img, None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((h, w, 3), jnp.float32), offsets)
+        return acc / sweeps
+
+    # Warm-up (compile) pass.
+    jax.block_until_ready(burst())
+
     trials = 3
     best = float("inf")
     for _ in range(trials):
         t0 = time.perf_counter()
-        imgs = [
-            render_pixel_colors(
-                scene, camera, cfg, sample_offset=i * cfg.samples_per_pixel
-            )
-            for i in range(sweeps)
-        ]
-        jax.block_until_ready(imgs)
+        jax.block_until_ready(burst())
         best = min(best, time.perf_counter() - t0)
 
     rays = sweeps * cfg.samples_per_pixel * camera.image_width * camera.image_height

@@ -60,11 +60,13 @@ from rt_tpu import fast_shade
 BIG = np.float32(3.0e38)
 
 # Default pool geometry (overridable for tests/tuning).  Swept on v5e
-# (2026-08-17, 400x225@10spp cover): R=512/NP=8192 won at 4.7 us/iter
-# with the pool at the information-theoretic minimum iteration count;
-# R=1024 measured 11.8 us/iter (VMEM pressure from the [R,R] claim
-# matrix), R=256 pays more iterations than its cheaper step saves.
-LANES = 512  # ray lanes per grid program (pool size per tile)
+# (2026-08-17, 400x225@10spp cover, tools/mega_perf.py): with the packed
+# (SUB, G) state layout and the hierarchical claim scan, R=2048/sub=8
+# won at 6.7 ns per lane-bounce (vs 12.3 for round-1's (1, R) rows at
+# R=512) — G=256 keeps every elementwise op on full (8, 128)+ vregs and
+# the [G,G]+[SUB,SUB] scan replaces the old [R,R] VMEM hog.
+LANES = 2048  # ray lanes per grid program (pool size per tile)
+SUBROWS = 8  # state rows per pool: lanes pack as (SUBROWS, lanes//SUBROWS)
 TILE_PIXELS = 8192  # pixels owned per grid program (multiple of 256)
 SPHERE_CHUNK = 128
 TRI_CHUNK = 64  # tri_packed is padded to 64 rows (scene.py)
@@ -262,11 +264,12 @@ def _mega_kernel(
     atlas_ref,  # f32[3*AH, AW_pad] channel-planar image atlas
     out_ref,  # f32[3*NQ, 256] per-tile radiance sums
     iters_ref,  # i32[n_tiles, 1] SMEM (full): per-tile bounce iterations
-    sf,  # f32[16, R] scratch: rays rows 0..7, throughput rows 8..10
-    si,  # i32[8, R] scratch: 0 gid, 1 depth, 2 active, 3 pix_local
+    sf,  # f32[16*SUB, G] scratch: per-lane f32 state, SUB rows per field
+    si,  # i32[8*SUB, G] scratch: 0 gid, 1 depth, 2 active, 3 pix_local
     acc,  # f32[3*NQ, 256] scratch accumulator
     *,
     lanes,
+    sub,
     tile_pixels,
     spp,
     width,
@@ -292,11 +295,14 @@ def _mega_kernel(
     ablate,
 ):
     R = lanes
+    SUB = sub
+    G = R // SUB
     NP = tile_pixels
     NQ = NP // 256
     NQP = max(-(-NQ // 8) * 8, 8)  # Mosaic block rows must divide by 8
     log2np = int(np.log2(NP))
     assert 1 << log2np == NP
+    assert SUB * G == R
     total_work = NP * spp
     f32 = jnp.float32
 
@@ -306,30 +312,49 @@ def _mega_kernel(
     pix_base = pi_ref[0, _PI_PIX_BASE] + tile * NP
 
     # --- loop-invariant matrices -------------------------------------------
-    lt = (
-        jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
-        <= jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
-    ).astype(f32)  # LT[l, j] = l <= j : row-vector @ LT = inclusive prefix
-    er_iota = jax.lax.broadcasted_iota(jnp.int32, (256, R), 0)
-    eq_iota = jax.lax.broadcasted_iota(jnp.int32, (NQP, R), 0)
-    oh_iota = jax.lax.broadcasted_iota(jnp.int32, (p_pad, R), 0)
-    sid_iota = jax.lax.broadcasted_iota(jnp.int32, (SPHERE_CHUNK, R), 0)
-    tid_iota = jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, R), 0)
+    # Lane order for work claims is s*G + g (row-major over the SUB state
+    # rows).  The prefix sum over lanes is hierarchical: a [G,G] matmul
+    # scans within each row, an [SUB,SUB] strict-lower matmul adds the
+    # preceding rows' totals — this replaces round-1's [R,R] matrix, whose
+    # O(R^2) MACs and VMEM footprint (4 MB at R=1024) were what made large
+    # pools regress.
+    ltg = (
+        jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+        <= jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)
+    ).astype(f32)  # LTG[l, j] = l <= j : row @ LTG = inclusive prefix
+    lt_sub = (
+        jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 1)
+        < jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+    ).astype(f32)  # strict lower: row s sums rows < s
+    er_iota = jax.lax.broadcasted_iota(jnp.int32, (256, G), 0)
+    eq_iota = jax.lax.broadcasted_iota(jnp.int32, (NQP, G), 0)
+    oh_iota = jax.lax.broadcasted_iota(jnp.int32, (p_pad, G), 0)
+    sid_iota = jax.lax.broadcasted_iota(jnp.int32, (SPHERE_CHUNK, G), 0)
+    tid_iota = jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, G), 0)
     if has_images:
-        ah_iota = jax.lax.broadcasted_iota(jnp.int32, (atlas_h, R), 0)
+        ah_iota = jax.lax.broadcasted_iota(jnp.int32, (atlas_h, G), 0)
         aw_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (atlas_ref.shape[1], R), 0
+            jnp.int32, (atlas_ref.shape[1], G), 0
         )
 
     id_bits = max(int(np.ceil(np.log2(max(p_pad, 2)))), 1)
     id_mask = (1 << id_bits) - 1
     big_key = (int(np.float32(BIG).view(np.int32)) & ~id_mask) if True else 0
 
+    # Per-lane state lives as (SUB, G) blocks — with SUB=8, G>=128 every
+    # elementwise op runs on fully packed (8,128) vregs instead of round
+    # 1's (1,R) rows that used 1 of 8 sublanes (an 8x VPU waste across the
+    # shade/camera/RNG/sky sections).
+    def SF(r):
+        return sf[r * SUB : (r + 1) * SUB, :]
+
+    def SI(r):
+        return si[r * SUB : (r + 1) * SUB, :]
+
     # --- state init --------------------------------------------------------
-    sf[0:3, :] = jnp.zeros((3, R), f32)  # origin
-    sf[3:6, :] = jnp.ones((3, R), f32)  # direction (non-zero: 1/a finite)
-    sf[6:11, :] = jnp.zeros((5, R), f32)  # pad rows + throughput
-    si[:, :] = jnp.zeros((8, R), jnp.int32)
+    sf[:, :] = jnp.zeros((16 * SUB, G), f32)
+    sf[3 * SUB : 6 * SUB, :] = jnp.ones((3 * SUB, G), f32)  # dirs: 1/a finite
+    si[:, :] = jnp.zeros((8 * SUB, G), jnp.int32)
     acc[:, :] = jnp.zeros((3 * NQP, 256), f32)
 
     # --- camera / sky scalars ---------------------------------------------
@@ -361,19 +386,25 @@ def _mega_kernel(
         next_work, _, it = carry
 
         # ---- claims -------------------------------------------------------
-        active = si[2:3, :] > 0
+        active = SI(2) > 0
         idle = ~active
-        if "noclaims" in ablate:  # timing ablation: skip the rank matmul
+        if "noclaims" in ablate:  # timing ablation: skip the rank scan
             # (wrong ranks — lane iota stands in for the idle prefix count)
             incl = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, R), 1).astype(f32) + 1.0
-            )
+                jax.lax.broadcasted_iota(jnp.int32, (SUB, G), 0) * G
+                + jax.lax.broadcasted_iota(jnp.int32, (SUB, G), 1)
+            ).astype(f32) + 1.0
         else:
-            # Default precision is fine HERE: both operands are exact 0/1
+            # Default precision is fine HERE: operands are exact small ints
             # (bf16 representable) and the MXU accumulates in f32.
-            incl = jnp.dot(
-                jnp.where(idle, 1.0, 0.0), lt, preferred_element_type=f32
-            )  # [1,R] inclusive idle count
+            incl_row = jnp.dot(
+                jnp.where(idle, 1.0, 0.0), ltg, preferred_element_type=f32
+            )  # (SUB,G) inclusive idle count within each state row
+            row_tot = incl_row[:, G - 1 : G]  # (SUB,1) per-row totals
+            row_off = jnp.dot(
+                lt_sub, row_tot, preferred_element_type=f32
+            )  # (SUB,1) totals of preceding rows
+            incl = incl_row + row_off
         claim_id = next_work + incl.astype(jnp.int32) - 1
         claim = idle & (claim_id < total_work)
         n_claimed = jnp.sum(jnp.where(claim, 1, 0))
@@ -387,8 +418,8 @@ def _mega_kernel(
         # Halton jitter (sampling.halton_pair parity: 1-based position).
         posu = (samp + 1).astype(jnp.uint32)
         if "nocamera" in ablate:  # timing ablation: constant jitter/sample
-            off_u = jnp.full((1, R), 0.25, f32)
-            off_v = jnp.full((1, R), 0.75, f32)
+            off_u = jnp.full((SUB, G), 0.25, f32)
+            off_v = jnp.full((SUB, G), 0.75, f32)
         else:
             off_u = _radical2(posu)
             off_v = _radical3(posu)
@@ -423,107 +454,30 @@ def _mega_kernel(
             noz = jnp.full_like(sx, 0.0) + cz_
 
         cm = claim
-        ox = jnp.where(cm, nox, sf[0:1, :])
-        oy = jnp.where(cm, noy, sf[1:2, :])
-        oz = jnp.where(cm, noz, sf[2:3, :])
-        dx = jnp.where(cm, sx - nox, sf[3:4, :])
-        dy = jnp.where(cm, sy - noy, sf[4:5, :])
-        dz = jnp.where(cm, sz - noz, sf[5:6, :])
-        tpr = jnp.where(cm, 1.0, sf[8:9, :])
-        tpg = jnp.where(cm, 1.0, sf[9:10, :])
-        tpb = jnp.where(cm, 1.0, sf[10:11, :])
-        gid = jnp.where(cm, gwork, si[0:1, :])
-        depth = jnp.where(cm, 0, si[1:2, :])
+        ox = jnp.where(cm, nox, SF(0))
+        oy = jnp.where(cm, noy, SF(1))
+        oz = jnp.where(cm, noz, SF(2))
+        dx = jnp.where(cm, sx - nox, SF(3))
+        dy = jnp.where(cm, sy - noy, SF(4))
+        dz = jnp.where(cm, sz - noz, SF(5))
+        tpr = jnp.where(cm, 1.0, SF(8))
+        tpg = jnp.where(cm, 1.0, SF(9))
+        tpb = jnp.where(cm, 1.0, SF(10))
+        gid = jnp.where(cm, gwork, SI(0))
+        depth = jnp.where(cm, 0, SI(1))
         active = active | claim
-        pixl_s = jnp.where(cm, pix_l, si[3:4, :])
+        pixl_s = jnp.where(cm, pix_l, SI(3))
 
         # ---- intersect ----------------------------------------------------
-        # Dots stay on the VPU: an MXU [C,3]@[3,R] contraction at f32
+        # Dots stay on the VPU: an MXU [C,3]@[3,G] contraction at f32
         # precision is pipeline-latency-bound (HIGHEST = 6-9 passes of a
         # K=3 matmul) and measured SLOWER than the broadcast form, while
         # bf16 inputs (the TPU dot default) corrupt the geometry.
+        # The sweep runs once per state row s: chunk math on (C, G) blocks
+        # carries the same element count as a single (C, R) pass, and the
+        # per-row (1, G) ray slices broadcast against the (C, 1) columns.
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
-
-        def sph_chunk(ci, best):
-            sph = sph_ref[pl.ds(ci * SPHERE_CHUNK, SPHERE_CHUNK), :]  # [C,4]
-            cx = sph[:, 0:1]
-            cy = sph[:, 1:2]
-            cz = sph[:, 2:3]
-            rad = sph[:, 3:4]
-            ocx = cx - ox  # [C,R] broadcast
-            ocy = cy - oy
-            ocz = cz - oz
-            h = dx * ocx + dy * ocy + dz * ocz
-            c_ = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
-            disc = h * h - a * c_
-            sd = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t0 = (h - sd) * inv_a
-            t1 = (h + sd) * inv_a
-            t_cand = jnp.where(t0 >= t_min, t0, t1)
-            valid = (disc >= 0.0) & (rad > 0.0) & (t_cand >= t_min) & (t_cand < t_max)
-            t_cand = jnp.where(valid, t_cand, BIG)
-            if packed_select:
-                key = (pltpu.bitcast(t_cand, jnp.int32) & ~id_mask) | (
-                    sid_iota + ci * SPHERE_CHUNK
-                )
-                return jnp.minimum(best, jnp.min(key, axis=0, keepdims=True))
-            bt, bi = best
-            cmin = jnp.min(t_cand, axis=0, keepdims=True)
-            ids = sid_iota + ci * SPHERE_CHUNK
-            sel = jnp.min(
-                jnp.where(t_cand == cmin, ids, jnp.int32(2**30)), axis=0, keepdims=True
-            )
-            better = cmin < bt
-            return (jnp.where(better, cmin, bt), jnp.where(better, sel, bi))
-
-        def tri_chunk(ci, best):
-            tri = tri_ref[pl.ds(ci * TRI_CHUNK, TRI_CHUNK), :]  # [C,12]
-            ax_, ay_, az_ = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
-            e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
-            e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
-            live = tri[:, 9:10]
-            uvx = dy * e2z - dz * e2y
-            uvy = dz * e2x - dx * e2z
-            uvz = dx * e2y - dy * e2x
-            det = e1x * uvx + e1y * uvy + e1z * uvz
-            if backface_cull:
-                det_ok = det > 1e-7
-            else:
-                det_ok = jnp.abs(det) > 1e-7
-            inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-            aox = ox - ax_
-            aoy = oy - ay_
-            aoz = oz - az_
-            u = (aox * uvx + aoy * uvy + aoz * uvz) * inv_det
-            vvx = aoy * e1z - aoz * e1y
-            vvy = aoz * e1x - aox * e1z
-            vvz = aox * e1y - aoy * e1x
-            v = (dx * vvx + dy * vvy + dz * vvz) * inv_det
-            tt = (e2x * vvx + e2y * vvy + e2z * vvz) * inv_det
-            ok = (
-                det_ok
-                & (live > 0.5)
-                & (u >= 0.0)
-                & (u <= 1.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (tt >= t_min)
-                & (tt < t_max)
-                & (tt > 1e-7)
-            )
-            t_cand = jnp.where(ok, tt, BIG)
-            ids = tid_iota + ci * TRI_CHUNK + n_spheres
-            if packed_select:
-                key = (pltpu.bitcast(t_cand, jnp.int32) & ~id_mask) | ids
-                return jnp.minimum(best, jnp.min(key, axis=0, keepdims=True))
-            bt, bi = best
-            cmin = jnp.min(t_cand, axis=0, keepdims=True)
-            sel = jnp.min(
-                jnp.where(t_cand == cmin, ids, jnp.int32(2**30)), axis=0, keepdims=True
-            )
-            better = cmin < bt
-            return (jnp.where(better, cmin, bt), jnp.where(better, sel, bi))
 
         def chunk_sweep(n_chunks, fn, carry):
             """Static python unroll for small chunk counts: the slices
@@ -538,40 +492,158 @@ def _mega_kernel(
                 return carry
             return jax.lax.fori_loop(0, n_chunks, fn, carry)
 
-        if "nointersect" in ablate:  # timing ablation: constant near hit
-            hit = jnp.full((1, R), True)
-            t = jnp.full((1, R), 1.0, f32)
-            prim = jnp.zeros((1, R), jnp.int32)
-        elif packed_select:
-            best = jnp.full((1, R), big_key | id_mask, jnp.int32)
-            best = chunk_sweep(n_sph_chunks, sph_chunk, best)
-            best = chunk_sweep(n_tri_chunks, tri_chunk, best)
-            hit = best < big_key
-            t = pltpu.bitcast(best & ~id_mask, f32)
-            prim = best & id_mask
-        else:
-            carry2 = (jnp.full((1, R), BIG, f32), jnp.full((1, R), -1, jnp.int32))
+        def lane_group_intersect(oxs, oys, ozs, dxs, dys, dzs, a_s, inv_a_s):
+            def sph_chunk(ci, best):
+                sph = sph_ref[pl.ds(ci * SPHERE_CHUNK, SPHERE_CHUNK), :]  # [C,4]
+                cx = sph[:, 0:1]
+                cy = sph[:, 1:2]
+                cz = sph[:, 2:3]
+                rad = sph[:, 3:4]
+                ocx = cx - oxs  # [C,G] broadcast
+                ocy = cy - oys
+                ocz = cz - ozs
+                h = dxs * ocx + dys * ocy + dzs * ocz
+                c_ = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                disc = h * h - a_s * c_
+                sd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t0 = (h - sd) * inv_a_s
+                t1 = (h + sd) * inv_a_s
+                t_cand = jnp.where(t0 >= t_min, t0, t1)
+                valid = (
+                    (disc >= 0.0) & (rad > 0.0) & (t_cand >= t_min) & (t_cand < t_max)
+                )
+                t_cand = jnp.where(valid, t_cand, BIG)
+                if packed_select:
+                    key = (pltpu.bitcast(t_cand, jnp.int32) & ~id_mask) | (
+                        sid_iota + ci * SPHERE_CHUNK
+                    )
+                    return jnp.minimum(best, jnp.min(key, axis=0, keepdims=True))
+                bt, bi = best
+                cmin = jnp.min(t_cand, axis=0, keepdims=True)
+                ids = sid_iota + ci * SPHERE_CHUNK
+                sel = jnp.min(
+                    jnp.where(t_cand == cmin, ids, jnp.int32(2**30)),
+                    axis=0,
+                    keepdims=True,
+                )
+                better = cmin < bt
+                return (jnp.where(better, cmin, bt), jnp.where(better, sel, bi))
+
+            def tri_chunk(ci, best):
+                tri = tri_ref[pl.ds(ci * TRI_CHUNK, TRI_CHUNK), :]  # [C,12]
+                ax_, ay_, az_ = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
+                e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
+                e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
+                live = tri[:, 9:10]
+                uvx = dys * e2z - dzs * e2y
+                uvy = dzs * e2x - dxs * e2z
+                uvz = dxs * e2y - dys * e2x
+                det = e1x * uvx + e1y * uvy + e1z * uvz
+                if backface_cull:
+                    det_ok = det > 1e-7
+                else:
+                    det_ok = jnp.abs(det) > 1e-7
+                inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+                aox = oxs - ax_
+                aoy = oys - ay_
+                aoz = ozs - az_
+                u = (aox * uvx + aoy * uvy + aoz * uvz) * inv_det
+                vvx = aoy * e1z - aoz * e1y
+                vvy = aoz * e1x - aox * e1z
+                vvz = aox * e1y - aoy * e1x
+                v = (dxs * vvx + dys * vvy + dzs * vvz) * inv_det
+                tt = (e2x * vvx + e2y * vvy + e2z * vvz) * inv_det
+                ok = (
+                    det_ok
+                    & (live > 0.5)
+                    & (u >= 0.0)
+                    & (u <= 1.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (tt >= t_min)
+                    & (tt < t_max)
+                    & (tt > 1e-7)
+                )
+                t_cand = jnp.where(ok, tt, BIG)
+                ids = tid_iota + ci * TRI_CHUNK + n_spheres
+                if packed_select:
+                    key = (pltpu.bitcast(t_cand, jnp.int32) & ~id_mask) | ids
+                    return jnp.minimum(best, jnp.min(key, axis=0, keepdims=True))
+                bt, bi = best
+                cmin = jnp.min(t_cand, axis=0, keepdims=True)
+                sel = jnp.min(
+                    jnp.where(t_cand == cmin, ids, jnp.int32(2**30)),
+                    axis=0,
+                    keepdims=True,
+                )
+                better = cmin < bt
+                return (jnp.where(better, cmin, bt), jnp.where(better, sel, bi))
+
+            if packed_select:
+                best = jnp.full((1, G), big_key | id_mask, jnp.int32)
+                best = chunk_sweep(n_sph_chunks, sph_chunk, best)
+                best = chunk_sweep(n_tri_chunks, tri_chunk, best)
+                return best
+            carry2 = (jnp.full((1, G), BIG, f32), jnp.full((1, G), -1, jnp.int32))
             carry2 = chunk_sweep(n_sph_chunks, sph_chunk, carry2)
             carry2 = chunk_sweep(n_tri_chunks, tri_chunk, carry2)
-            t, prim = carry2
-            hit = t < BIG
-            prim = jnp.where(hit, prim, 0)
+            return carry2
 
-        # ---- shade-table fetch (one-hot MXU matmul) ----------------------
+        def vstack(rows):
+            return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+
+        if "nointersect" in ablate:  # timing ablation: constant near hit
+            hit = jnp.full((SUB, G), True)
+            t = jnp.full((SUB, G), 1.0, f32)
+            prim = jnp.zeros((SUB, G), jnp.int32)
+        else:
+            groups = [
+                lane_group_intersect(
+                    ox[s : s + 1, :], oy[s : s + 1, :], oz[s : s + 1, :],
+                    dx[s : s + 1, :], dy[s : s + 1, :], dz[s : s + 1, :],
+                    a[s : s + 1, :], inv_a[s : s + 1, :],
+                )
+                for s in range(SUB)
+            ]
+            if packed_select:
+                best = vstack(groups)
+                hit = best < big_key
+                t = pltpu.bitcast(best & ~id_mask, f32)
+                prim = best & id_mask
+            else:
+                t = vstack([g[0] for g in groups])
+                prim = vstack([g[1] for g in groups])
+                hit = t < BIG
+                prim = jnp.where(hit, prim, 0)
+
+        # ---- shade-table fetch (one-hot MXU matmuls, one per state row) ---
         n_f = table_ref.shape[0] // 2
+        safe_prim = jnp.where(hit, prim, 0)
         if "nofetch" in ablate:  # perf ablation: constant material
-            f = jnp.broadcast_to(table_ref[:n_f, 0:1], (n_f, R))
+            f_groups = [
+                jnp.broadcast_to(table_ref[:n_f, 0:1], (n_f, G))
+            ] * SUB
         else:
             # table_ref rows are a bf16 hi/lo split (built host-side), so
             # the DEFAULT-precision matmul (bf16 inputs, 1 MXU pass) is
             # exact on hi and captures the next 8 mantissa bits via lo —
             # ~2^-16 relative overall at 1/9th the cost of a HIGHEST dot.
-            onehot = (oh_iota == jnp.where(hit, prim, 0)).astype(f32)  # [P,R]
-            f2 = jnp.dot(table_ref[:, :], onehot, preferred_element_type=f32)
-            f = f2[:n_f] + f2[n_f:]  # [F,R]
+            f_groups = []
+            for s in range(SUB):
+                onehot = (oh_iota == safe_prim[s : s + 1, :]).astype(f32)  # [P,G]
+                f2 = jnp.dot(table_ref[:, :], onehot, preferred_element_type=f32)
+                f_groups.append(f2[:n_f] + f2[n_f:])  # [F,G]
+
+        _row_cache = {}
 
         def row(i):
-            return f[i : i + 1, :]
+            """Shade-table feature i gathered back into the packed (SUB, G)
+            lane layout; cached so repeated features assemble once."""
+            r = _row_cache.get(i)
+            if r is None:
+                r = vstack([fg[i : i + 1, :] for fg in f_groups])
+                _row_cache[i] = r
+            return r
 
         FS = fast_shade
         ts = jnp.where(hit, t, 0.0)
@@ -685,30 +757,34 @@ def _mega_kernel(
             aw_pad = atlas_ref.shape[1] // 2  # cols are a hi|lo split
             ax2 = jnp.clip(row(FS.F_RECT + 0).astype(jnp.int32) + ix, 0, aw_pad - 1)
             ay2 = jnp.clip(row(FS.F_RECT + 1).astype(jnp.int32) + iy, 0, atlas_h - 1)
-            rowsel = (ah_iota == ay2).astype(f32)  # [AH, R]
-            # The column mask hits BOTH the hi half (at ax) and the lo half
-            # (at ax + aw_pad), so the final reduce sums hi + lo texels —
-            # one DEFAULT-precision matmul, ~16 effective mantissa bits.
-            colmask = ((aw_iota == ax2) | (aw_iota == ax2 + aw_pad)).astype(f32)
             ddr = (((0,), (0,)), ((), ()))
             is_image = tex_kind > 1.5
-            texels = []
-            for ch in range(3):
-                plane = atlas_ref[ch * atlas_h : (ch + 1) * atlas_h, :]
-                sel = jax.lax.dot_general(
-                    plane, rowsel, ddr, preferred_element_type=f32
-                )  # [2*AWp, R]
-                texels.append(jnp.sum(colmask * sel, axis=0, keepdims=True))
-            tr = jnp.where(is_image, texels[0], tr)
-            tg = jnp.where(is_image, texels[1], tg)
-            tb = jnp.where(is_image, texels[2], tb)
+            texels = [[], [], []]  # per-channel lists of (1, G) rows
+            for s in range(SUB):
+                rowsel = (ah_iota == ay2[s : s + 1, :]).astype(f32)  # [AH, G]
+                # The column mask hits BOTH the hi half (at ax) and the lo
+                # half (at ax + aw_pad), so the final reduce sums hi + lo
+                # texels — DEFAULT-precision matmuls, ~16 mantissa bits.
+                colmask = (
+                    (aw_iota == ax2[s : s + 1, :])
+                    | (aw_iota == ax2[s : s + 1, :] + aw_pad)
+                ).astype(f32)
+                for ch in range(3):
+                    plane = atlas_ref[ch * atlas_h : (ch + 1) * atlas_h, :]
+                    sel = jax.lax.dot_general(
+                        plane, rowsel, ddr, preferred_element_type=f32
+                    )  # [2*AWp, G]
+                    texels[ch].append(jnp.sum(colmask * sel, axis=0, keepdims=True))
+            tr = jnp.where(is_image, vstack(texels[0]), tr)
+            tg = jnp.where(is_image, vstack(texels[1]), tg)
+            tb = jnp.where(is_image, vstack(texels[2]), tb)
 
         # Scatter draws (rng purposes 3..10, fast_shade parity).
         z = jnp.zeros_like(gid)
         if "norng" in ablate:  # timing ablation: constant draws
-            c3 = jnp.full((1, R), 0.577, f32)
+            c3 = jnp.full((SUB, G), 0.577, f32)
             r1x = r1y = r1z = r2x = r2y = r2z = c3
-            noise = jnp.full((1, R), 0.4, f32)
+            noise = jnp.full((SUB, G), 0.4, f32)
         else:
             ux3 = _uniform(seed, gid, depth, 3) * 2.0 - 1.0
             uy3 = _uniform(seed, gid, depth, 4) * 2.0 - 1.0
@@ -784,14 +860,14 @@ def _mega_kernel(
         att_b = jnp.where(is_diel, 1.0, tb)
         if "noshade" in ablate:  # timing ablation: the whole material /
             # texture / scatter block above goes dead and DCEs away.
-            c5 = jnp.full((1, R), 0.5, f32)
-            nx = ny = jnp.zeros((1, R), f32)
-            nz = jnp.ones((1, R), f32)
-            front = jnp.full((1, R), True)
+            c5 = jnp.full((SUB, G), 0.5, f32)
+            nx = ny = jnp.zeros((SUB, G), f32)
+            nz = jnp.ones((SUB, G), f32)
+            front = jnp.full((SUB, G), True)
             tr = tg = tb = c5
             new_dx, new_dy, new_dz = -dx, -dy, -dz
             att_r = att_g = att_b = c5
-            is_emissive = jnp.full((1, R), False)
+            is_emissive = jnp.full((SUB, G), False)
 
         p_rr = jnp.clip(jnp.maximum(jnp.maximum(att_r, att_g), att_b), 0.0, rr_clamp)
         survive = _uniform(seed, gid, depth, 10) < p_rr
@@ -806,7 +882,7 @@ def _mega_kernel(
         # ---- sky (Perez; sky.py parity incl. the cos-as-angle quirk) -----
         sdx, sdy, sdz = udx, udy, udz
         if "nosky" in ablate:  # perf ablation: constant sky
-            sky_r = sky_g = sky_b = jnp.full((1, R), 0.5, f32)
+            sky_r = sky_g = sky_b = jnp.full((SUB, G), 0.5, f32)
         else:
             cos_theta = jnp.clip(sdz, 0.01, 1.0)
             cos_gamma = jnp.clip(sdx * sunx + sdy * suny + sdz * sunz, -1.0, 1.0)
@@ -877,37 +953,47 @@ def _mega_kernel(
         q = pixl_s >> 8
         r_ = pixl_s & 255
         if "nodeposit" not in ablate:
-            e_q = (eq_iota == q).astype(f32)  # [NQP, R] (pad rows never match)
-            e_rt = (er_iota == r_).astype(f32)  # [256, R]
-            # One DEFAULT-precision matmul for all 3 channels x (hi, lo):
-            # channel rows stacked on the M axis, deposit values split into
-            # exact-bf16 hi + bf16(lo) so 1 MXU pass keeps ~16 mantissa bits.
-            eqd = jnp.concatenate(
-                [e_q * dep_r, e_q * dep_g, e_q * dep_b], axis=0
-            )  # [3*NQP, R]
-            eqd_hi = eqd.astype(jnp.bfloat16).astype(f32)
-            eqd_lo = eqd - eqd_hi
-            stacked = jnp.concatenate([eqd_hi, eqd_lo], axis=0)  # [6*NQP, R]
+            # One DEFAULT-precision matmul per state row for all 3 channels
+            # x (hi, lo): channel rows stacked on the M axis, deposit values
+            # split into exact-bf16 hi + bf16(lo) so each MXU pass keeps
+            # ~16 mantissa bits.
             ddn = (((1,), (1,)), ((), ()))
-            delta = jax.lax.dot_general(
-                stacked, e_rt, ddn, preferred_element_type=f32
-            )  # [6*NQP, 256]
-            acc[:, :] += delta[: 3 * NQP] + delta[3 * NQP :]
+            delta_acc = None
+            for s in range(SUB):
+                e_q = (eq_iota == q[s : s + 1, :]).astype(f32)  # [NQP, G]
+                e_rt = (er_iota == r_[s : s + 1, :]).astype(f32)  # [256, G]
+                eqd = jnp.concatenate(
+                    [
+                        e_q * dep_r[s : s + 1, :],
+                        e_q * dep_g[s : s + 1, :],
+                        e_q * dep_b[s : s + 1, :],
+                    ],
+                    axis=0,
+                )  # [3*NQP, G]
+                eqd_hi = eqd.astype(jnp.bfloat16).astype(f32)
+                eqd_lo = eqd - eqd_hi
+                stacked = jnp.concatenate([eqd_hi, eqd_lo], axis=0)  # [6*NQP, G]
+                delta = jax.lax.dot_general(
+                    stacked, e_rt, ddn, preferred_element_type=f32
+                )  # [6*NQP, 256]
+                d3 = delta[: 3 * NQP] + delta[3 * NQP :]
+                delta_acc = d3 if delta_acc is None else delta_acc + d3
+            acc[:, :] += delta_acc
 
         # ---- advance state ------------------------------------------------
-        sf[0:1, :] = jnp.where(cont, px + off * nx, ox)
-        sf[1:2, :] = jnp.where(cont, py + off * ny, oy)
-        sf[2:3, :] = jnp.where(cont, pz + off * nz, oz)
-        sf[3:4, :] = jnp.where(cont, new_dx, dx)
-        sf[4:5, :] = jnp.where(cont, new_dy, dy)
-        sf[5:6, :] = jnp.where(cont, new_dz, dz)
-        sf[8:9, :] = jnp.where(cont, tpr * att_r * inv_p, tpr)
-        sf[9:10, :] = jnp.where(cont, tpg * att_g * inv_p, tpg)
-        sf[10:11, :] = jnp.where(cont, tpb * att_b * inv_p, tpb)
-        si[0:1, :] = gid
-        si[1:2, :] = depth + 1
-        si[2:3, :] = jnp.where(cont, 1, 0)
-        si[3:4, :] = pixl_s
+        sf[0 * SUB : 1 * SUB, :] = jnp.where(cont, px + off * nx, ox)
+        sf[1 * SUB : 2 * SUB, :] = jnp.where(cont, py + off * ny, oy)
+        sf[2 * SUB : 3 * SUB, :] = jnp.where(cont, pz + off * nz, oz)
+        sf[3 * SUB : 4 * SUB, :] = jnp.where(cont, new_dx, dx)
+        sf[4 * SUB : 5 * SUB, :] = jnp.where(cont, new_dy, dy)
+        sf[5 * SUB : 6 * SUB, :] = jnp.where(cont, new_dz, dz)
+        sf[8 * SUB : 9 * SUB, :] = jnp.where(cont, tpr * att_r * inv_p, tpr)
+        sf[9 * SUB : 10 * SUB, :] = jnp.where(cont, tpg * att_g * inv_p, tpg)
+        sf[10 * SUB : 11 * SUB, :] = jnp.where(cont, tpb * att_b * inv_p, tpb)
+        si[0 * SUB : 1 * SUB, :] = gid
+        si[1 * SUB : 2 * SUB, :] = depth + 1
+        si[2 * SUB : 3 * SUB, :] = jnp.where(cont, 1, 0)
+        si[3 * SUB : 4 * SUB, :] = pixl_s
 
         n_active = jnp.sum(jnp.where(cont, 1, 0))
         return (next_work + n_claimed, n_active, it + 1)
@@ -932,82 +1018,13 @@ def _hilo_rows(x):
     return hi, x - hi
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "spp",
-        "width",
-        "n_global",
-        "n_spheres",
-        "n_sph_chunks",
-        "n_tri_chunks",
-        "max_depth",
-        "t_min",
-        "t_max",
-        "origin_offset",
-        "rr_clamp",
-        "backface_cull",
-        "shared_halton_jitter",
-        "use_defocus",
-        "cos_gamma_as_angle",
-        "packed_select",
-        "has_images",
-        "uv_bbox_remap",
-        "lanes",
-        "tile_pixels",
-        "n_tiles",
-        "n_pixels",
-        "interpret",
-        "sky_model",
-        "ablate",
-    ),
-)
-def _mega_call(
-    sph_packed,
-    tri_packed,
-    shade_table_raw,  # f32[F, P_pad] (un-split; hi/lo built in-trace)
-    atlas,  # f32[AH, AW, 3] image atlas or None
-    camera,
-    sky,
-    key,
-    sample_offset,
-    pixel_base,
-    *,
-    spp,
-    width,
-    n_global,
-    n_spheres,
-    n_sph_chunks,
-    n_tri_chunks,
-    max_depth,
-    t_min,
-    t_max,
-    origin_offset,
-    rr_clamp,
-    backface_cull,
-    shared_halton_jitter,
-    use_defocus,
-    cos_gamma_as_angle,
-    packed_select,
-    has_images,
-    uv_bbox_remap,
-    lanes,
-    tile_pixels,
-    n_tiles,
-    n_pixels,
-    interpret,
-    sky_model,
-    ablate,
-):
-    """One fused device program: scalar-param packing, hi/lo table splits,
-    AND the megakernel itself.  Everything before the ``pallas_call`` used
-    to run eagerly in ``render_megakernel`` — ~40 tiny dispatches that cost
-    ~97 ms/frame through the axon tunnel (measured 2026-08-17: c_call
-    ~97 ms vs 3.4 us/iter of actual kernel), swamping the kernel 3:1 on
-    the bench scene.  Inside one jit they compile to microseconds."""
-    from rt_tpu.wavefront import _seed_from_key
-
-    seed = _seed_from_key(key)
+@functools.partial(jax.jit, static_argnames=("has_images", "sky_model"))
+def _mega_prep(shade_table_raw, atlas, camera, sky, *, has_images, sky_model):
+    """Sweep-invariant device prep: camera/sky scalar packing + hi/lo
+    splits of the shade table and image atlas.  Split from _mega_exec so
+    sweep loops (bench/progressive bursts) hoist it out of the loop body
+    via ``prepare()`` — re-running it per sweep measured ~2.7 ms on the
+    bench scene (2026-08-17), a quarter of the kernel's own sweep time."""
     sun = sky.sun_direction / jnp.linalg.norm(sky.sun_direction)
     theta_s = sky_mod._safe_arccos(jnp.clip(sun[2], 0.0, 1.0))
     cos_theta_s = jnp.cos(theta_s)
@@ -1037,11 +1054,6 @@ def _mega_call(
         hw = hw.at[:, 9].set(hw[:, 9] * sky.exposure)  # premultiply exposure
         pf = pf.at[0, _P_HW : _P_HW + 30].set(hw.reshape(-1))
 
-    pi = jnp.zeros((1, _PI_I32_LEN), jnp.int32)
-    pi = pi.at[0, _PI_SEED].set(seed.astype(jnp.int32))
-    pi = pi.at[0, _PI_SAMPLE_OFF].set(jnp.asarray(sample_offset, jnp.int32))
-    pi = pi.at[0, _PI_PIX_BASE].set(jnp.asarray(pixel_base, jnp.int32))
-
     # Channel-planar atlas [3*AH, 2*AW_pad] (hi | lo bf16 split along the
     # column axis) for the in-kernel one-hot fetch at DEFAULT precision.
     if has_images:
@@ -1059,6 +1071,85 @@ def _mega_call(
     # parameter-fetch matmul (see _mega_kernel).
     t_hi, t_lo = _hilo_rows(shade_table_raw)
     shade_table = jnp.concatenate([t_hi, t_lo], axis=0)
+    return pf, shade_table, atlas_planar
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spp",
+        "width",
+        "n_global",
+        "n_spheres",
+        "n_sph_chunks",
+        "n_tri_chunks",
+        "max_depth",
+        "t_min",
+        "t_max",
+        "origin_offset",
+        "rr_clamp",
+        "backface_cull",
+        "shared_halton_jitter",
+        "use_defocus",
+        "cos_gamma_as_angle",
+        "packed_select",
+        "has_images",
+        "uv_bbox_remap",
+        "lanes",
+        "sub",
+        "tile_pixels",
+        "n_tiles",
+        "n_pixels",
+        "interpret",
+        "sky_model",
+        "ablate",
+    ),
+)
+def _mega_exec(
+    pf,
+    shade_table,
+    atlas_planar,
+    sph_packed,
+    tri_packed,
+    key,
+    sample_offset,
+    pixel_base,
+    *,
+    spp,
+    width,
+    n_global,
+    n_spheres,
+    n_sph_chunks,
+    n_tri_chunks,
+    max_depth,
+    t_min,
+    t_max,
+    origin_offset,
+    rr_clamp,
+    backface_cull,
+    shared_halton_jitter,
+    use_defocus,
+    cos_gamma_as_angle,
+    packed_select,
+    has_images,
+    uv_bbox_remap,
+    lanes,
+    sub,
+    tile_pixels,
+    n_tiles,
+    n_pixels,
+    interpret,
+    sky_model,
+    ablate,
+):
+    """The pallas dispatch given sweep-invariant prepped inputs."""
+    from rt_tpu.wavefront import _seed_from_key
+
+    seed = _seed_from_key(key)
+    pi = jnp.zeros((1, _PI_I32_LEN), jnp.int32)
+    pi = pi.at[0, _PI_SEED].set(seed.astype(jnp.int32))
+    pi = pi.at[0, _PI_SAMPLE_OFF].set(jnp.asarray(sample_offset, jnp.int32))
+    pi = pi.at[0, _PI_PIX_BASE].set(jnp.asarray(pixel_base, jnp.int32))
 
     nq = tile_pixels // 256
     nqp = max(-(-nq // 8) * 8, 8)  # padded per-channel rows (see _mega_kernel)
@@ -1066,6 +1157,7 @@ def _mega_call(
     kernel = functools.partial(
         _mega_kernel,
         lanes=lanes,
+        sub=sub,
         tile_pixels=tile_pixels,
         spp=spp,
         width=width,
@@ -1110,8 +1202,8 @@ def _mega_call(
             jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((16, lanes), jnp.float32),
-            pltpu.VMEM((8, lanes), jnp.int32),
+            pltpu.VMEM((16 * sub, lanes // sub), jnp.float32),
+            pltpu.VMEM((8 * sub, lanes // sub), jnp.int32),
             pltpu.VMEM((3 * nqp, 256), jnp.float32),
         ],
         interpret=interpret,
@@ -1122,6 +1214,118 @@ def _mega_call(
     out = jnp.transpose(out, (1, 0, 2, 3)).reshape(3, n_tiles * tile_pixels)
     img = out.T[:n_pixels] * jnp.float32(1.0 / spp)
     return img, iters
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "spp",
+        "width",
+        "n_global",
+        "n_spheres",
+        "n_sph_chunks",
+        "n_tri_chunks",
+        "max_depth",
+        "t_min",
+        "t_max",
+        "origin_offset",
+        "rr_clamp",
+        "backface_cull",
+        "shared_halton_jitter",
+        "use_defocus",
+        "cos_gamma_as_angle",
+        "packed_select",
+        "has_images",
+        "uv_bbox_remap",
+        "lanes",
+        "sub",
+        "tile_pixels",
+        "n_tiles",
+        "n_pixels",
+        "interpret",
+        "sky_model",
+        "ablate",
+    ),
+)
+def _mega_call(
+    sph_packed,
+    tri_packed,
+    shade_table_raw,  # f32[F, P_pad] (un-split; hi/lo built in-trace)
+    atlas,  # f32[AH, AW, 3] image atlas or None
+    camera,
+    sky,
+    key,
+    sample_offset,
+    pixel_base,
+    *,
+    spp,
+    width,
+    n_global,
+    n_spheres,
+    n_sph_chunks,
+    n_tri_chunks,
+    max_depth,
+    t_min,
+    t_max,
+    origin_offset,
+    rr_clamp,
+    backface_cull,
+    shared_halton_jitter,
+    use_defocus,
+    cos_gamma_as_angle,
+    packed_select,
+    has_images,
+    uv_bbox_remap,
+    lanes,
+    sub,
+    tile_pixels,
+    n_tiles,
+    n_pixels,
+    interpret,
+    sky_model,
+    ablate,
+):
+    """One fused device program: scalar-param packing, hi/lo table splits,
+    AND the megakernel itself — the single-frame path.  Everything before
+    the ``pallas_call`` used to run eagerly in ``render_megakernel`` — ~40
+    tiny dispatches costing ~97 ms/frame through the axon tunnel (measured
+    2026-08-17), swamping the kernel 3:1 on the bench scene.  Inside one
+    jit they compile to microseconds.  Sweep loops should instead call
+    ``prepare()`` once and pass ``prepared=`` to render_megakernel."""
+    pf, shade_table, atlas_planar = _mega_prep(
+        shade_table_raw, atlas, camera, sky,
+        has_images=has_images, sky_model=sky_model,
+    )
+    return _mega_exec(
+        pf, shade_table, atlas_planar, sph_packed, tri_packed,
+        key, sample_offset, pixel_base,
+        spp=spp,
+        width=width,
+        n_global=n_global,
+        n_spheres=n_spheres,
+        n_sph_chunks=n_sph_chunks,
+        n_tri_chunks=n_tri_chunks,
+        max_depth=max_depth,
+        t_min=t_min,
+        t_max=t_max,
+        origin_offset=origin_offset,
+        rr_clamp=rr_clamp,
+        backface_cull=backface_cull,
+        shared_halton_jitter=shared_halton_jitter,
+        use_defocus=use_defocus,
+        cos_gamma_as_angle=cos_gamma_as_angle,
+        packed_select=packed_select,
+        has_images=has_images,
+        uv_bbox_remap=uv_bbox_remap,
+        lanes=lanes,
+        sub=sub,
+        tile_pixels=tile_pixels,
+        n_tiles=n_tiles,
+        n_pixels=n_pixels,
+        interpret=interpret,
+        sky_model=sky_model,
+        ablate=ablate,
+    )
 
 
 def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
@@ -1143,6 +1347,25 @@ def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
     )
 
 
+def prepare(scene: SceneData, camera: Camera, cfg: RenderConfig):
+    """Sweep-invariant device packing for ``render_megakernel(prepared=)``.
+
+    Compute once per (scene, camera, sky) and reuse across progressive
+    sweeps/bursts — skips ~2.7 ms/sweep of atlas/table re-splitting on the
+    bench scene."""
+    sky = scene.sky
+    sky_model = "perez" if sky.hw_params is None else "hosek"
+    has_images = bool(scene.has_image_textures)
+    return _mega_prep(
+        scene.shade_table,
+        scene.atlas if has_images else None,
+        camera,
+        sky,
+        has_images=has_images,
+        sky_model=sky_model,
+    )
+
+
 def render_megakernel(
     scene: SceneData,
     camera: Camera,
@@ -1154,11 +1377,13 @@ def render_megakernel(
     pixel_base: int = 0,
     n_pixels: int | None = None,
     lanes: int = LANES,
+    sub: int = SUBROWS,
     tile_pixels: int = TILE_PIXELS,
     packed_select: bool | None = None,
     interpret: bool = False,
     ablate: str = "",
     return_iters: bool = False,
+    prepared=None,
 ) -> jnp.ndarray:
     """Mean radiance f32[n_pixels, 3] for the contiguous pixel range
     [pixel_base, pixel_base + n_pixels) — megakernel analog of
@@ -1166,7 +1391,8 @@ def render_megakernel(
 
     The only eager work here is reading the static flags (one
     ``defocus_angle`` device read); every array op lives inside the
-    single-dispatch ``_mega_call`` jit.
+    single-dispatch ``_mega_call`` jit (or ``_mega_exec`` when a
+    ``prepare()`` result is passed via ``prepared=``).
     """
     n_pixels = (
         camera.image_width * camera.image_height if n_pixels is None else n_pixels
@@ -1179,6 +1405,8 @@ def render_megakernel(
     while tile_pixels > 256 and tile_pixels // 2 >= n_pixels:
         tile_pixels //= 2
     n_tiles = -(-n_pixels // tile_pixels)
+    while sub > 1 and lanes % sub:
+        sub //= 2
 
     sky = scene.sky
     sky_model = "perez" if sky.hw_params is None else "hosek"
@@ -1191,16 +1419,7 @@ def render_megakernel(
     s_pad = scene.sph_packed.shape[0]
     t_pad = scene.tri_packed.shape[0]
 
-    img, iters = _mega_call(
-        scene.sph_packed,
-        scene.tri_packed,
-        scene.shade_table,
-        scene.atlas if has_images else None,
-        camera,
-        sky,
-        key,
-        sample_offset,
-        pixel_base,
+    statics = dict(
         spp=int(spp),
         width=camera.image_width,
         n_global=n_global,
@@ -1220,6 +1439,7 @@ def render_megakernel(
         has_images=has_images,
         uv_bbox_remap=bool(cfg.compat.triangle_uv_bbox_remap),
         lanes=lanes,
+        sub=sub,
         tile_pixels=tile_pixels,
         n_tiles=n_tiles,
         n_pixels=n_pixels,
@@ -1227,6 +1447,27 @@ def render_megakernel(
         sky_model=sky_model,
         ablate=ablate,
     )
+    if prepared is not None:
+        pf, shade_table, atlas_planar = prepared
+        img, iters = _mega_exec(
+            pf, shade_table, atlas_planar,
+            scene.sph_packed, scene.tri_packed,
+            key, sample_offset, pixel_base,
+            **statics,
+        )
+    else:
+        img, iters = _mega_call(
+            scene.sph_packed,
+            scene.tri_packed,
+            scene.shade_table,
+            scene.atlas if has_images else None,
+            camera,
+            sky,
+            key,
+            sample_offset,
+            pixel_base,
+            **statics,
+        )
     if return_iters:
         return img, iters
     return img

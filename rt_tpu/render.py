@@ -72,6 +72,7 @@ def render_pixel_colors(
     sample_offset: int = 0,
     key: jax.Array | None = None,
     wavefront: bool = True,
+    prepared=None,
 ) -> jnp.ndarray:
     """Render the full frame to a linear-color device array f32[H,W,3]
     (reference analog: render_image, camera.rs:327-341, minus file I/O).
@@ -100,7 +101,8 @@ def render_pixel_colors(
             spp_chunk = max(1, min(spp, 64))
             if spp_chunk >= spp:
                 flat = mk.render_megakernel(
-                    scene, camera, cfg, spp, sample_offset, key
+                    scene, camera, cfg, spp, sample_offset, key,
+                    prepared=prepared,
                 )
                 return flat.reshape(h, w, 3)
             accum = jnp.zeros((n_pixels, 3), jnp.float32)
@@ -108,7 +110,8 @@ def render_pixel_colors(
             while done < spp:
                 ns = min(spp_chunk, spp - done)
                 part = mk.render_megakernel(
-                    scene, camera, cfg, ns, sample_offset + done, key
+                    scene, camera, cfg, ns, sample_offset + done, key,
+                    prepared=prepared,
                 )
                 accum = accum + part * ns
                 done += ns
