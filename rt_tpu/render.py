@@ -96,9 +96,12 @@ def render_pixel_colors(
         )
         if use_mega and jax.default_backend() not in ("cpu",):
             # Persistent megakernel: one Pallas program integrates the
-            # whole frame chunk; spp chunking keeps the per-tile work
-            # queue (and the sample axis of its VMEM accumulator) bounded.
-            spp_chunk = max(1, min(spp, 64))
+            # whole frame chunk.  Deep frames amortize the per-dispatch
+            # floor (tunnel RPC + prep, ~57 ms measured 2026-08-17), so
+            # the chunk cap is high; it exists only to bound single-
+            # kernel runtime (checkpointability) and the i32 work-queue
+            # range (tile_pixels * spp < 2^31 with huge margin at 512).
+            spp_chunk = max(1, min(spp, 512))
             if spp_chunk >= spp:
                 flat = mk.render_megakernel(
                     scene, camera, cfg, spp, sample_offset, key,
