@@ -53,11 +53,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rt_tpu import sky as sky_mod
 from rt_tpu.camera import Camera
+from rt_tpu.cluster import CLUSTER_SLOTS, SUPER_SLOTS
 from rt_tpu.config import RenderConfig
 from rt_tpu.scene import SceneData
 from rt_tpu import fast_shade
 
 BIG = np.float32(3.0e38)
+# BIG with the low 7 mantissa bits cleared — the miss sentinel of the
+# clustered sweep's packed (t | local-slot) keys.  Comparisons must use
+# this truncated value: a missed chunk's min key unpacks to exactly it,
+# which is strictly LESS than BIG.
+BIG_TRUNC = np.array(int(np.float32(BIG).view(np.int32)) & ~127, np.int32).view(
+    np.float32
+)[()]
 
 # Default pool geometry (overridable for tests/tuning).  Swept on v5e
 # (2026-08-17, 400x225@10spp cover, tools/mega_perf.py): with the packed
@@ -256,18 +264,17 @@ def _perez(coef_ref, base, cos_theta, gamma, cos_gamma):
 
 
 def _mega_kernel(
-    pf_ref,  # f32[1, _P_F32_LEN] SMEM scalar params
-    pi_ref,  # i32[1, _PI_I32_LEN] SMEM scalar params
-    sph_ref,  # f32[S_pad, 4] VMEM
-    tri_ref,  # f32[T_pad, 12] VMEM
-    table_ref,  # f32[F, P_pad] VMEM shade table
-    atlas_ref,  # f32[3*AH, AW_pad] channel-planar image atlas
-    out_ref,  # f32[3*NQ, 256] per-tile radiance sums
-    iters_ref,  # i32[n_tiles, 1] SMEM (full): per-tile bounce iterations
-    sf,  # f32[16*SUB, G] scratch: per-lane f32 state, SUB rows per field
-    si,  # i32[8*SUB, G] scratch: 0 gid, 1 depth, 2 active, 3 pix_local
-    acc,  # f32[3*NQ, 256] scratch accumulator
-    *,
+    *refs,
+    # Ref layout (flat mode, clustered=False):
+    #   pf, pi, sph[S_pad,4], tri[T_pad,12], table[2F,P_pad], atlas,
+    #   out, iters, sf, si, acc
+    # Ref layout (clustered=True):
+    #   pf, pi, ssup[Ss_pad,8], scl[Ms_pad,8], sslots[Ms_pad*128,4],
+    #   tsup[St_pad,8], tcl[Mt_pad,8], tslots[Mt_pad*128,12],
+    #   shade_hbm[slots_pad,128] (ANY), atlas,
+    #   out, iters, sf, si, acc, feat_scr[SUB*F,G], wl_vmem[WS,128],
+    #   wl_smem[WS,128], sup_vmem[1,128], sup_smem[1,128],
+    #   slice_vmem[128,128], dma_sem
     lanes,
     sub,
     tile_pixels,
@@ -293,7 +300,25 @@ def _mega_kernel(
     uv_bbox_remap,
     sky_model,
     ablate,
+    clustered=False,
+    f_rows=0,
 ):
+    if clustered:
+        (
+            pf_ref, pi_ref,
+            ssup_ref, scl_ref, sslots_ref, tsup_ref, tcl_ref, tslots_ref,
+            shade_hbm_ref, atlas_ref,
+            out_ref, iters_ref,
+            sf, si, acc,
+            feat_scr, wl_vmem, wl_smem, sup_vmem, sup_smem,
+            slice_vmem, dma_sem,
+        ) = refs
+        table_ref = None
+    else:
+        (
+            pf_ref, pi_ref, sph_ref, tri_ref, table_ref, atlas_ref,
+            out_ref, iters_ref, sf, si, acc,
+        ) = refs
     R = lanes
     SUB = sub
     G = R // SUB
@@ -328,9 +353,14 @@ def _mega_kernel(
     ).astype(f32)  # strict lower: row s sums rows < s
     er_iota = jax.lax.broadcasted_iota(jnp.int32, (256, G), 0)
     eq_iota = jax.lax.broadcasted_iota(jnp.int32, (NQP, G), 0)
-    oh_iota = jax.lax.broadcasted_iota(jnp.int32, (p_pad, G), 0)
-    sid_iota = jax.lax.broadcasted_iota(jnp.int32, (SPHERE_CHUNK, G), 0)
-    tid_iota = jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, G), 0)
+    if clustered:
+        # [p_pad, G] one-hots are impossible at clustered slot counts; the
+        # shade fetch DMAs winner clusters instead (see _winner_fetch).
+        cid_iota = jax.lax.broadcasted_iota(jnp.int32, (CLUSTER_SLOTS, G), 0)
+    else:
+        oh_iota = jax.lax.broadcasted_iota(jnp.int32, (p_pad, G), 0)
+        sid_iota = jax.lax.broadcasted_iota(jnp.int32, (SPHERE_CHUNK, G), 0)
+        tid_iota = jax.lax.broadcasted_iota(jnp.int32, (TRI_CHUNK, G), 0)
     if has_images:
         ah_iota = jax.lax.broadcasted_iota(jnp.int32, (atlas_h, G), 0)
         aw_iota = jax.lax.broadcasted_iota(
@@ -592,10 +622,355 @@ def _mega_kernel(
         def vstack(rows):
             return rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
 
+        # ---- clustered intersect (hierarchical worklist; large scenes) ----
+        # The same two-level machinery as pallas_ops._worklist_kernel, run
+        # against the persistent pool: slab-test the super AABBs, compact
+        # entered supers to SMEM, slab-test their member clusters, compact
+        # per-super cluster segments to SMEM, then one flattened while loop
+        # intersects ONLY the entered 128-slot chunks.  No vector-unit
+        # branches anywhere (pl.when measured ~10 us of pipeline drain).
+        if clustered:
+            F = f_rows
+            ms_pad = scl_ref.shape[0]  # sphere clusters (64-multiple)
+            mt_pad = tcl_ref.shape[0]
+            n_sph_slots = ms_pad * CLUSTER_SLOTS
+            ns_tot = (ms_pad + mt_pad) // SUPER_SLOTS  # global super count
+            ns_pad = max(-(-ns_tot // 8) * 8, 8)
+            tiny = np.float32(1.0e-20)
+            inv_dx = 1.0 / jnp.where(jnp.abs(dx) > tiny, dx, tiny)
+            inv_dy = 1.0 / jnp.where(jnp.abs(dy) > tiny, dy, tiny)
+            inv_dz = 1.0 / jnp.where(jnp.abs(dz) > tiny, dz, tiny)
+            live = active
+            lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+            def slab_enter(box, s):
+                """AABB slab test of box rows [K, 8] against state row s's
+                rays -> bool [K, G] (live lanes only)."""
+                lx, ly, lz = box[:, 0:1], box[:, 1:2], box[:, 2:3]
+                hx, hy, hz = box[:, 3:4], box[:, 4:5], box[:, 5:6]
+                oxr, oyr, ozr = ox[s : s + 1, :], oy[s : s + 1, :], oz[s : s + 1, :]
+                idx_ = inv_dx[s : s + 1, :]
+                idy_ = inv_dy[s : s + 1, :]
+                idz_ = inv_dz[s : s + 1, :]
+                t0x = (lx - oxr) * idx_
+                t1x = (hx - oxr) * idx_
+                t0y = (ly - oyr) * idy_
+                t1y = (hy - oyr) * idy_
+                t0z = (lz - ozr) * idz_
+                t1z = (hz - ozr) * idz_
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), 0.0),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.maximum(t0z, t1z),
+                )
+                # Robust-traversal pad (Ize 2013): the slab arithmetic can
+                # round a silhouette-grazing interval to empty and cull a
+                # true hit; scaling tf outward by a few ulps only ever
+                # admits extra clusters.
+                tf = tf * np.float32(1.0 + 6e-7) + np.float32(1e-6)
+                return (tn <= tf) & (tf >= 0.0) & live[s : s + 1, :]
+
+            def pool_enter_mask(box):
+                """Per-AABB 'any live pool ray enters' flags i32 [K, 1]."""
+                if "nocull" in ablate:  # correctness ablation: enter all
+                    return (box[:, 0:1] <= box[:, 3:4]).astype(jnp.int32)
+                m = jnp.zeros((box.shape[0], 1), jnp.int32)
+                for s in range(SUB):
+                    m = jnp.maximum(
+                        m,
+                        jnp.max(
+                            slab_enter(box, s).astype(jnp.int32),
+                            axis=1,
+                            keepdims=True,
+                        ),
+                    )
+                return m
+
+            def compact_col(mask):
+                """Dense ids [1, K] (-1 padded) of set rows in mask i32[K,1]
+                via the MXU rank-match reduction (no scatter, no cumsum)."""
+                k = mask.shape[0]
+                row_i = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+                col_i = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+                tri_ones = (col_i <= row_i).astype(f32)
+                rank = (
+                    jnp.dot(tri_ones, mask.astype(f32), preferred_element_type=f32)
+                    .astype(jnp.int32)
+                    - 1
+                )  # [k, 1] inclusive prefix sum - 1
+                ids = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)
+                match = (rank == col_i) & (mask > 0)
+                compacted = jnp.sum(jnp.where(match, ids, 0), axis=0, keepdims=True)
+                filled = jnp.sum(match.astype(jnp.int32), axis=0, keepdims=True)
+                return jnp.where(filled > 0, compacted, -1)
+
+            def dma_to(src, dst):
+                cp = pltpu.make_async_copy(src, dst, dma_sem)
+                cp.start()
+                cp.wait()
+
+            def stage_super_list(mask):
+                """Compact a super mask and DMA the id list to SMEM."""
+                ids = compact_col(mask)
+                k = ids.shape[1]
+                if k < 128:
+                    ids = jnp.concatenate(
+                        [ids, jnp.full((1, 128 - k), -1, jnp.int32)], axis=1
+                    )
+                sup_vmem[0:1, :] = ids[:, :128]
+                dma_to(sup_vmem, sup_smem)
+                return jnp.sum(mask)
+
+            def build_segments(n_ent, member_mask64):
+                """Per entered super j: compact its 64-cluster entered mask
+                into worklist row j = [global ids (64) | count | -1 pad],
+                then DMA all rows to SMEM.  ``member_mask64(sid)`` returns
+                the i32 [64, 1] membership mask for super ``sid``."""
+
+                def seg_body(j):
+                    sid = sup_smem[0, j]
+                    m64 = member_mask64(sid)
+                    seg = compact_col(m64)  # [1, 64] local ids
+                    seg = jnp.where(seg >= 0, seg + sid * SUPER_SLOTS, -1)
+                    cnt = jnp.sum(m64, axis=0, keepdims=True)  # [1,1] vector
+                    segp = jnp.concatenate(
+                        [seg, jnp.full((1, 64), -1, jnp.int32)], axis=1
+                    )
+                    rowv = jnp.where(
+                        lane128 == 64, jnp.broadcast_to(cnt, (1, 128)), segp
+                    )
+                    wl_vmem[pl.ds(j, 1), :] = rowv
+                    return j + 1
+
+                jax.lax.while_loop(lambda j: j < n_ent, seg_body, jnp.int32(0))
+                dma_to(wl_vmem, wl_smem)
+
+            def entered_member_mask(cl_ref):
+                def fn(sid):
+                    base = pl.multiple_of(sid * SUPER_SLOTS, SUPER_SLOTS)
+                    return pool_enter_mask(cl_ref[pl.ds(base, SUPER_SLOTS), :])
+
+                return fn
+
+            # Phase C runs with prims on LANES and rays on sublanes (the
+            # worklist kernel's phase-C orientation): the slot tables keep
+            # their [fields, slots] lane-major layout (a [slots, 4] table
+            # would lane-pad 4 -> 128 and blow VMEM 32x), and the pool's
+            # ray fields transpose ONCE per iteration to [G, SUB] columns.
+            rt_ox, rt_oy, rt_oz = ox.T, oy.T, oz.T
+            rt_dx, rt_dy, rt_dz = dx.T, dy.T, dz.T
+            rt_a, rt_inv_a = a.T, inv_a.T
+            slot_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (G, CLUSTER_SLOTS), 1
+            )
+
+            def sph_chunk_key(sl, s):
+                """Packed (t | 7-bit local slot) min over a 128-slot sphere
+                chunk sl [4, 128] vs pool column s -> i32 [G, 1].  The 2^-16
+                relative t truncation is far below the scale-aware ray
+                offset (same scheme as the flat path's packed_select)."""
+                cx, cy, cz, rad = sl[0:1, :], sl[1:2, :], sl[2:3, :], sl[3:4, :]
+                oxs, oys, ozs = rt_ox[:, s : s + 1], rt_oy[:, s : s + 1], rt_oz[:, s : s + 1]
+                dxs, dys, dzs = rt_dx[:, s : s + 1], rt_dy[:, s : s + 1], rt_dz[:, s : s + 1]
+                a_s, inv_a_s = rt_a[:, s : s + 1], rt_inv_a[:, s : s + 1]
+                ocx = cx - oxs  # [G, 128]
+                ocy = cy - oys
+                ocz = cz - ozs
+                h = dxs * ocx + dys * ocy + dzs * ocz
+                c_ = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                disc = h * h - a_s * c_
+                sd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                t0 = (h - sd) * inv_a_s
+                t1 = (h + sd) * inv_a_s
+                t_cand = jnp.where(t0 >= t_min, t0, t1)
+                valid = (
+                    (disc >= 0.0) & (rad > 0.0) & (t_cand >= t_min) & (t_cand < t_max)
+                )
+                t_cand = jnp.where(valid, t_cand, BIG)
+                key = (pltpu.bitcast(t_cand, jnp.int32) & ~127) | slot_iota
+                return jnp.min(key, axis=1, keepdims=True)
+
+            def tri_chunk_key(sl, s):
+                """Packed Moller-Trumbore min over a 128-slot triangle chunk
+                sl [12, 128] vs pool column s -> i32 [G, 1]."""
+                ax_, ay_, az_ = sl[0:1, :], sl[1:2, :], sl[2:3, :]
+                e1x, e1y, e1z = sl[3:4, :], sl[4:5, :], sl[5:6, :]
+                e2x, e2y, e2z = sl[6:7, :], sl[7:8, :], sl[8:9, :]
+                live_t = sl[9:10, :]
+                oxs, oys, ozs = rt_ox[:, s : s + 1], rt_oy[:, s : s + 1], rt_oz[:, s : s + 1]
+                dxs, dys, dzs = rt_dx[:, s : s + 1], rt_dy[:, s : s + 1], rt_dz[:, s : s + 1]
+                uvx = dys * e2z - dzs * e2y
+                uvy = dzs * e2x - dxs * e2z
+                uvz = dxs * e2y - dys * e2x
+                det = e1x * uvx + e1y * uvy + e1z * uvz
+                if backface_cull:
+                    det_ok = det > 1e-7
+                else:
+                    det_ok = jnp.abs(det) > 1e-7
+                inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+                aox = oxs - ax_
+                aoy = oys - ay_
+                aoz = ozs - az_
+                u = (aox * uvx + aoy * uvy + aoz * uvz) * inv_det
+                vvx = aoy * e1z - aoz * e1y
+                vvy = aoz * e1x - aox * e1z
+                vvz = aox * e1y - aoy * e1x
+                v = (dxs * vvx + dys * vvy + dzs * vvz) * inv_det
+                tt = (e2x * vvx + e2y * vvy + e2z * vvz) * inv_det
+                ok = (
+                    det_ok
+                    & (live_t > 0.5)
+                    & (u >= 0.0)
+                    & (u <= 1.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (tt >= t_min)
+                    & (tt < t_max)
+                    & (tt > 1e-7)
+                )
+                t_cand = jnp.where(ok, tt, BIG)
+                key = (pltpu.bitcast(t_cand, jnp.int32) & ~127) | slot_iota
+                return jnp.min(key, axis=1, keepdims=True)
+
+            def sweep_entered(n_ent, slots_ref, chunk_key, shade_base, bt_t, bi_t):
+                """Flattened (super j, seg entry k) while loop over the
+                entered clusters; each step intersects one 128-slot chunk
+                and min-merges into the transposed [G, SUB] best carries."""
+
+                def ccond(c):
+                    return c[0] < n_ent
+
+                def cbody(c):
+                    j, k, bt_c, bi_c = c
+                    cnt = wl_smem[j, 64]
+                    valid = k < cnt
+                    ci = jnp.maximum(wl_smem[j, k], 0)
+                    base = pl.multiple_of(ci * CLUSTER_SLOTS, CLUSTER_SLOTS)
+                    sl = slots_ref[:, pl.ds(base, CLUSTER_SLOTS)]
+                    new_bt, new_bi = [], []
+                    for s in range(SUB):
+                        key = chunk_key(sl, s)  # [G, 1]
+                        ct = pltpu.bitcast(key & ~127, f32)
+                        btr = bt_c[:, s : s + 1]
+                        bir = bi_c[:, s : s + 1]
+                        better = valid & (ct < btr)
+                        new_bt.append(jnp.where(better, ct, btr))
+                        new_bi.append(
+                            jnp.where(better, shade_base + base + (key & 127), bir)
+                        )
+                    k2 = k + 1
+                    roll = k2 >= cnt
+                    return (
+                        jnp.where(roll, j + 1, j),
+                        jnp.where(roll, 0, k2),
+                        jnp.concatenate(new_bt, axis=1),
+                        jnp.concatenate(new_bi, axis=1),
+                    )
+
+                _, _, bt_t, bi_t = jax.lax.while_loop(
+                    ccond, cbody, (jnp.int32(0), jnp.int32(0), bt_t, bi_t)
+                )
+                return bt_t, bi_t
+
+            def cluster_nearest():
+                bt_t = jnp.full((G, SUB), BIG_TRUNC, f32)
+                bi_t = jnp.zeros((G, SUB), jnp.int32)
+                # n_sph_chunks / n_tri_chunks double as set-present flags in
+                # clustered mode (host sets them to 1 when the set is live).
+                if n_sph_chunks:
+                    n_ent = stage_super_list(pool_enter_mask(ssup_ref[:, :]))
+                    build_segments(n_ent, entered_member_mask(scl_ref))
+                    bt_t, bi_t = sweep_entered(
+                        n_ent, sslots_ref, sph_chunk_key, 0, bt_t, bi_t
+                    )
+                if n_tri_chunks:
+                    n_ent = stage_super_list(pool_enter_mask(tsup_ref[:, :]))
+                    build_segments(n_ent, entered_member_mask(tcl_ref))
+                    bt_t, bi_t = sweep_entered(
+                        n_ent, tslots_ref, tri_chunk_key, n_sph_slots, bt_t, bi_t
+                    )
+                bt = bt_t.T
+                bi = bi_t.T
+                return bt < BIG_TRUNC, bt, bi
+
+            def winner_fetch(hit_m, bi_m):
+                """Gather winners' shade features: every lane's final winner
+                lives in some cluster that improved it during the sweep, so
+                the set of winner clusters is small (<= distinct winners).
+                Build per-super winner segments (global cluster numbering:
+                shade slot == global_cluster * 128 + local), DMA each winner
+                cluster's [128, 2F] shade slice from HBM, and accumulate the
+                one-hot feature matmul into feat_scr."""
+                win_cl = jnp.where(hit_m, bi_m >> 7, -1)
+                win_sup = jnp.where(hit_m, bi_m >> 13, -1)
+                sup_iota = jax.lax.broadcasted_iota(jnp.int32, (ns_pad, G), 0)
+                m = jnp.zeros((ns_pad, 1), jnp.int32)
+                for s in range(SUB):
+                    eq = win_sup[s : s + 1, :] == sup_iota
+                    m = jnp.maximum(
+                        m, jnp.max(eq.astype(jnp.int32), axis=1, keepdims=True)
+                    )
+                n_went = stage_super_list(m)
+
+                cl_iota = jax.lax.broadcasted_iota(jnp.int32, (SUPER_SLOTS, G), 0)
+
+                def winner_members(gsid):
+                    m64 = jnp.zeros((SUPER_SLOTS, 1), jnp.int32)
+                    base = gsid * SUPER_SLOTS
+                    for s in range(SUB):
+                        eq = win_cl[s : s + 1, :] == (cl_iota + base)
+                        m64 = jnp.maximum(
+                            m64,
+                            jnp.max(eq.astype(jnp.int32), axis=1, keepdims=True),
+                        )
+                    return m64
+
+                build_segments(n_went, winner_members)
+
+                feat_scr[:, :] = jnp.zeros(feat_scr.shape, f32)
+
+                def fcond(c):
+                    return c[0] < n_went
+
+                def fbody(c):
+                    j, k = c
+                    cnt = wl_smem[j, 64]
+                    valid = k < cnt
+                    gci = jnp.maximum(wl_smem[j, k], 0)
+                    sbase = pl.multiple_of(gci * CLUSTER_SLOTS, CLUSTER_SLOTS)
+                    dma_to(
+                        shade_hbm_ref.at[pl.ds(sbase, CLUSTER_SLOTS), :],
+                        slice_vmem,
+                    )
+                    sl = slice_vmem[:, :]
+                    vf = jnp.where(valid, 1.0, 0.0)
+                    ddc = (((0,), (0,)), ((), ()))
+                    for s in range(SUB):
+                        oh = jnp.where(
+                            (cid_iota + sbase == bi_m[s : s + 1, :])
+                            & hit_m[s : s + 1, :],
+                            vf,
+                            0.0,
+                        )  # [128, G]
+                        res = jax.lax.dot_general(
+                            sl, oh, ddc, preferred_element_type=f32
+                        )  # [128 cols, G]; cols = hi(F) | lo(F) | pad
+                        feat_scr[pl.ds(s * F, F), :] += res[:F] + res[F : 2 * F]
+                    k2 = k + 1
+                    roll = k2 >= cnt
+                    return (jnp.where(roll, j + 1, j), jnp.where(roll, 0, k2))
+
+                jax.lax.while_loop(fcond, fbody, (jnp.int32(0), jnp.int32(0)))
+
         if "nointersect" in ablate:  # timing ablation: constant near hit
             hit = jnp.full((SUB, G), True)
             t = jnp.full((SUB, G), 1.0, f32)
             prim = jnp.zeros((SUB, G), jnp.int32)
+        elif clustered:
+            hit, t, prim = cluster_nearest()
         else:
             groups = [
                 lane_group_intersect(
@@ -616,34 +991,57 @@ def _mega_kernel(
                 hit = t < BIG
                 prim = jnp.where(hit, prim, 0)
 
-        # ---- shade-table fetch (one-hot MXU matmuls, one per state row) ---
-        n_f = table_ref.shape[0] // 2
-        safe_prim = jnp.where(hit, prim, 0)
-        if "nofetch" in ablate:  # perf ablation: constant material
-            f_groups = [
-                jnp.broadcast_to(table_ref[:n_f, 0:1], (n_f, G))
-            ] * SUB
-        else:
-            # table_ref rows are a bf16 hi/lo split (built host-side), so
-            # the DEFAULT-precision matmul (bf16 inputs, 1 MXU pass) is
-            # exact on hi and captures the next 8 mantissa bits via lo —
-            # ~2^-16 relative overall at 1/9th the cost of a HIGHEST dot.
-            f_groups = []
-            for s in range(SUB):
-                onehot = (oh_iota == safe_prim[s : s + 1, :]).astype(f32)  # [P,G]
-                f2 = jnp.dot(table_ref[:, :], onehot, preferred_element_type=f32)
-                f_groups.append(f2[:n_f] + f2[n_f:])  # [F,G]
-
+        # ---- shade-table fetch -------------------------------------------
         _row_cache = {}
+        if clustered:
+            # Winner-cluster DMA fetch (see winner_fetch) fills feat_scr
+            # with each lane's feature column; missed lanes keep zeros
+            # (every downstream consumer is hit/cont-masked).
+            if "nofetch" not in ablate:
+                winner_fetch(hit, prim)
+            else:
+                feat_scr[:, :] = jnp.zeros(feat_scr.shape, f32)
 
-        def row(i):
-            """Shade-table feature i gathered back into the packed (SUB, G)
-            lane layout; cached so repeated features assemble once."""
-            r = _row_cache.get(i)
-            if r is None:
-                r = vstack([fg[i : i + 1, :] for fg in f_groups])
-                _row_cache[i] = r
-            return r
+            def row(i):
+                r = _row_cache.get(i)
+                if r is None:
+                    r = vstack(
+                        [
+                            feat_scr[s * F + i : s * F + i + 1, :]
+                            for s in range(SUB)
+                        ]
+                    )
+                    _row_cache[i] = r
+                return r
+
+        else:
+            # One-hot MXU matmuls, one per state row.
+            n_f = table_ref.shape[0] // 2
+            safe_prim = jnp.where(hit, prim, 0)
+            if "nofetch" in ablate:  # perf ablation: constant material
+                f_groups = [
+                    jnp.broadcast_to(table_ref[:n_f, 0:1], (n_f, G))
+                ] * SUB
+            else:
+                # table_ref rows are a bf16 hi/lo split (built host-side), so
+                # the DEFAULT-precision matmul (bf16 inputs, 1 MXU pass) is
+                # exact on hi and captures the next 8 mantissa bits via lo —
+                # ~2^-16 relative overall at 1/9th the cost of a HIGHEST dot.
+                f_groups = []
+                for s in range(SUB):
+                    onehot = (oh_iota == safe_prim[s : s + 1, :]).astype(f32)  # [P,G]
+                    f2 = jnp.dot(table_ref[:, :], onehot, preferred_element_type=f32)
+                    f_groups.append(f2[:n_f] + f2[n_f:])  # [F,G]
+
+            def row(i):
+                """Shade-table feature i gathered back into the packed
+                (SUB, G) lane layout; cached so repeated features assemble
+                once."""
+                r = _row_cache.get(i)
+                if r is None:
+                    r = vstack([fg[i : i + 1, :] for fg in f_groups])
+                    _row_cache[i] = r
+                return r
 
         FS = fast_shade
         ts = jnp.where(hit, t, 0.0)
@@ -1074,6 +1472,58 @@ def _mega_prep(shade_table_raw, atlas, camera, sky, *, has_images, sky_model):
     return pf, shade_table, atlas_planar
 
 
+def _nan_dummies(box):
+    """Inverted (dummy) AABBs -> NaN AABBs.
+
+    cluster.py marks dummy clusters/supers with lo=+inf, hi=-inf, but the
+    branchless slab test still 'enters' such boxes (min/max over +-inf give
+    tn=0 <= tf=+inf).  NaN boxes compare false everywhere, so dummies are
+    skipped for free."""
+    bad = box[:, 0:1] > box[:, 3:4]
+    return jnp.where(bad, jnp.nan, box)
+
+
+def _pad_rows_nan(box, multiple=8):
+    """Pad an AABB table's rows to a sublane multiple with NaN boxes."""
+    k = box.shape[0]
+    kp = max(-(-k // multiple) * multiple, multiple)
+    if kp == k:
+        return box
+    return jnp.concatenate(
+        [box, jnp.full((kp - k, box.shape[1]), jnp.nan, jnp.float32)], axis=0
+    )
+
+
+def _mega_prep_clustered(cl_arrays, atlas, camera, sky, *, has_images, sky_model):
+    """Sweep-invariant packing for the clustered megakernel: camera/sky
+    scalars (shared with _mega_prep), NaN-dummy AABB tables, lane-major
+    slot tables passed through, and the slot-ordered shade table as
+    HBM-resident [slots_pad, 128] columns (hi | lo | pad) for the
+    winner-cluster DMA fetch."""
+    from rt_tpu.fast_shade import F_ROWS
+
+    sph_super, sph_cluster, sph_slots, tri_super, tri_cluster, tri_slots, shade = (
+        cl_arrays
+    )
+    pf, _, atlas_planar = _mega_prep(
+        jnp.zeros((F_ROWS, 128), jnp.float32), atlas, camera, sky,
+        has_images=has_images, sky_model=sky_model,
+    )
+    ssup = _pad_rows_nan(_nan_dummies(sph_super))
+    tsup = _pad_rows_nan(_nan_dummies(tri_super))
+    scl = _nan_dummies(sph_cluster)
+    tcl = _nan_dummies(tri_cluster)
+    t_hi, t_lo = _hilo_rows(shade)  # [F, slots_pad] each
+    f = t_hi.shape[0]
+    shade_cols = jnp.zeros((t_hi.shape[1], 128), jnp.float32)
+    shade_cols = shade_cols.at[:, :f].set(t_hi.T)
+    shade_cols = shade_cols.at[:, f : 2 * f].set(t_lo.T)
+    return (
+        pf, shade_cols, atlas_planar,
+        ssup, scl, sph_slots, tsup, tcl, tri_slots,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -1328,22 +1778,204 @@ def _mega_call(
     )
 
 
+_CL_STATICS = (
+    "spp",
+    "width",
+    "n_global",
+    "n_spheres",
+    "n_sph_chunks",
+    "n_tri_chunks",
+    "max_depth",
+    "t_min",
+    "t_max",
+    "origin_offset",
+    "rr_clamp",
+    "backface_cull",
+    "shared_halton_jitter",
+    "use_defocus",
+    "cos_gamma_as_angle",
+    "has_images",
+    "uv_bbox_remap",
+    "lanes",
+    "sub",
+    "tile_pixels",
+    "n_tiles",
+    "n_pixels",
+    "interpret",
+    "sky_model",
+    "ablate",
+    "f_rows",
+)
+
+_WL_ROWS = 64  # worklist segment rows (= max entered supers per set)
+
+
+@functools.partial(jax.jit, static_argnames=_CL_STATICS)
+def _mega_exec_clustered(
+    pf,
+    shade_cols,  # f32[slots_pad, 128] HBM-resident (hi | lo | pad columns)
+    atlas_planar,
+    ssup, scl, sslots, tsup, tcl, tslots,
+    key,
+    sample_offset,
+    pixel_base,
+    *,
+    f_rows,
+    **statics,
+):
+    """The clustered-mode pallas dispatch (see _mega_kernel's clustered ref
+    layout).  Geometry/AABB tables are VMEM-resident; the slot-ordered
+    shade table stays in HBM and winner clusters' [128, 2F] slices are
+    DMA'd on demand."""
+    from rt_tpu.wavefront import _seed_from_key
+
+    lanes = statics["lanes"]
+    sub = statics["sub"]
+    tile_pixels = statics["tile_pixels"]
+    n_tiles = statics["n_tiles"]
+    interpret = statics["interpret"]
+
+    seed = _seed_from_key(key)
+    pi = jnp.zeros((1, _PI_I32_LEN), jnp.int32)
+    pi = pi.at[0, _PI_SEED].set(seed.astype(jnp.int32))
+    pi = pi.at[0, _PI_SAMPLE_OFF].set(jnp.asarray(sample_offset, jnp.int32))
+    pi = pi.at[0, _PI_PIX_BASE].set(jnp.asarray(pixel_base, jnp.int32))
+
+    nq = tile_pixels // 256
+    nqp = max(-(-nq // 8) * 8, 8)
+    atlas_h = atlas_planar.shape[0] // 3
+    kernel_kw = {
+        k: v
+        for k, v in statics.items()
+        if k not in ("n_tiles", "n_pixels", "interpret")
+    }
+    kernel = functools.partial(
+        _mega_kernel,
+        p_pad=shade_cols.shape[0],
+        packed_select=False,
+        atlas_h=atlas_h,
+        clustered=True,
+        f_rows=f_rows,
+        **kernel_kw,
+    )
+    g = lanes // sub
+    full = lambda arr: pl.BlockSpec(
+        arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out, iters = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, _P_F32_LEN), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _PI_I32_LEN), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            full(ssup),
+            full(scl),
+            full(sslots),
+            full(tsup),
+            full(tcl),
+            full(tslots),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # shade_cols stays in HBM
+            full(atlas_planar),
+        ],
+        out_specs=[
+            pl.BlockSpec((3 * nqp, 256), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tiles, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles * 3 * nqp, 256), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((16 * sub, g), jnp.float32),
+            pltpu.VMEM((8 * sub, g), jnp.int32),
+            pltpu.VMEM((3 * nqp, 256), jnp.float32),
+            pltpu.VMEM((sub * f_rows, g), jnp.float32),  # feat_scr
+            pltpu.VMEM((_WL_ROWS, 128), jnp.int32),  # wl_vmem
+            pltpu.SMEM((_WL_ROWS, 128), jnp.int32),  # wl_smem
+            pltpu.VMEM((1, 128), jnp.int32),  # sup_vmem
+            pltpu.SMEM((1, 128), jnp.int32),  # sup_smem
+            pltpu.VMEM((CLUSTER_SLOTS, 128), jnp.float32),  # shade slice
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(pf, pi, ssup, scl, sslots, tsup, tcl, tslots, shade_cols, atlas_planar)
+    n_pixels = statics["n_pixels"]
+    spp = statics["spp"]
+    out = out.reshape(n_tiles, 3, nqp, 256)[:, :, :nq, :]
+    out = jnp.transpose(out, (1, 0, 2, 3)).reshape(3, n_tiles * tile_pixels)
+    img = out.T[:n_pixels] * jnp.float32(1.0 / spp)
+    return img, iters
+
+
+@functools.partial(jax.jit, static_argnames=_CL_STATICS)
+def _mega_call_clustered(
+    cl_arrays,  # (sph_super, sph_cluster, sph_slots, tri_super,
+    #              tri_cluster, tri_slots, shade_table) from ClusterData
+    atlas,
+    camera,
+    sky,
+    key,
+    sample_offset,
+    pixel_base,
+    *,
+    f_rows,
+    **statics,
+):
+    """Single-dispatch clustered frame: prep + kernel in one jit."""
+    pf, shade_cols, atlas_planar, ssup, scl, sslots, tsup, tcl, tslots = (
+        _mega_prep_clustered(
+            cl_arrays, atlas, camera, sky,
+            has_images=statics["has_images"], sky_model=statics["sky_model"],
+        )
+    )
+    return _mega_exec_clustered(
+        pf, shade_cols, atlas_planar, ssup, scl, sslots, tsup, tcl, tslots,
+        key, sample_offset, pixel_base, f_rows=f_rows, **statics,
+    )
+
+
+def _atlas_ok(scene: SceneData) -> bool:
+    # Channel-planar atlas must stay VMEM-resident (~2 MB budget).
+    return (not scene.has_image_textures) or (
+        scene.atlas.shape[0] * max(scene.atlas.shape[1], 128) * 12 <= 2 << 20
+    )
+
+
 def eligible(scene: SceneData, cfg: RenderConfig) -> bool:
-    """True when the megakernel can render this scene (flat brute force,
-    packed shade table, no image-atlas gathers)."""
+    """True when the flat megakernel can render this scene (brute force,
+    packed shade table, whole scene VMEM-resident)."""
     from rt_tpu.wavefront import MAX_FAST_TRIANGLES
 
-    atlas_ok = (not scene.has_image_textures) or (
-        scene.atlas.shape[0] * max(scene.atlas.shape[1], 128) * 12 <= 2 << 20
-    )  # channel-planar atlas must stay VMEM-resident (~2 MB budget)
     return (
         scene.shade_table is not None
-        and atlas_ok
+        and _atlas_ok(scene)
         and scene.clusters is None
         and scene.num_prims <= 4096
         and scene.num_triangles <= MAX_FAST_TRIANGLES
         and scene.sph_packed is not None
         and scene.tri_packed is not None
+    )
+
+
+def eligible_clustered(scene: SceneData, cfg: RenderConfig) -> bool:
+    """True when the clustered megakernel can render this scene: cluster
+    tables built (scene.py builds them for >2048 prims / >128 triangles),
+    geometry slot tables within the VMEM budget, and the two-level
+    hierarchy within the kernel's worklist bounds (the slot-ordered shade
+    table itself stays in HBM, so it does not constrain scene size)."""
+    cl = scene.clusters
+    if cl is None:
+        return False
+    ms_pad = cl.sph_cluster.shape[0]
+    mt_pad = cl.tri_cluster.shape[0]
+    # Lane-major slot tables tile as (8, 128) in VMEM: [4, N] pads to 8
+    # sublanes, [12, N] to 16.
+    geom_bytes = ms_pad * 128 * 8 * 4 + mt_pad * 128 * 16 * 4
+    return (
+        _atlas_ok(scene)
+        and int(cl.n_sph_slots) == ms_pad * CLUSTER_SLOTS
+        and (ms_pad + mt_pad) // SUPER_SLOTS <= _WL_ROWS
+        and geom_bytes <= 13 << 20  # VMEM residency budget for slot tables
     )
 
 
@@ -1398,6 +2030,13 @@ def render_megakernel(
         camera.image_width * camera.image_height if n_pixels is None else n_pixels
     )
     n_global = camera.image_width * camera.image_height
+    if not eligible(scene, cfg) and eligible_clustered(scene, cfg):
+        return _render_clustered(
+            scene, camera, cfg, spp, sample_offset, key,
+            pixel_base=pixel_base, n_pixels=n_pixels, lanes=lanes, sub=sub,
+            tile_pixels=tile_pixels, interpret=interpret, ablate=ablate,
+            return_iters=return_iters,
+        )
     p_pad = scene.shade_table.shape[1]
     if packed_select is None:
         packed_select = p_pad <= 1024  # id-in-mantissa t truncation budget
@@ -1468,6 +2107,91 @@ def render_megakernel(
             pixel_base,
             **statics,
         )
+    if return_iters:
+        return img, iters
+    return img
+
+
+def _render_clustered(
+    scene: SceneData,
+    camera: Camera,
+    cfg: RenderConfig,
+    spp: int,
+    sample_offset,
+    key: jax.Array,
+    *,
+    pixel_base: int,
+    n_pixels: int,
+    lanes: int,
+    sub: int,
+    tile_pixels: int,
+    interpret: bool,
+    ablate: str,
+    return_iters: bool,
+):
+    """Clustered-megakernel frame (large scenes): same persistent pool, the
+    hierarchical worklist intersect of _mega_kernel's clustered mode."""
+    from rt_tpu.fast_shade import F_ROWS
+
+    cl = scene.clusters
+    n_global = camera.image_width * camera.image_height
+    while tile_pixels > 256 and tile_pixels // 2 >= n_pixels:
+        tile_pixels //= 2
+    n_tiles = -(-n_pixels // tile_pixels)
+    while sub > 1 and lanes % sub:
+        sub //= 2
+
+    sky = scene.sky
+    sky_model = "perez" if sky.hw_params is None else "hosek"
+    use_defocus = (
+        camera.defocus_on
+        if camera.defocus_on is not None
+        else bool(np.asarray(camera.defocus_angle) > 0.0)
+    )
+    has_images = bool(scene.has_image_textures)
+
+    statics = dict(
+        spp=int(spp),
+        width=camera.image_width,
+        n_global=n_global,
+        n_spheres=scene.num_spheres,
+        n_sph_chunks=1 if scene.num_spheres else 0,  # set-present flags
+        n_tri_chunks=1 if scene.num_triangles else 0,
+        max_depth=cfg.max_depth,
+        t_min=float(cfg.t_min),
+        t_max=float(cfg.t_max),
+        origin_offset=float(cfg.origin_offset),
+        rr_clamp=float(cfg.compat.rr_clamp),
+        backface_cull=bool(cfg.compat.triangle_backface_cull),
+        shared_halton_jitter=bool(cfg.compat.shared_halton_jitter),
+        use_defocus=use_defocus,
+        cos_gamma_as_angle=bool(sky.cos_gamma_as_angle),
+        has_images=has_images,
+        uv_bbox_remap=bool(cfg.compat.triangle_uv_bbox_remap),
+        lanes=lanes,
+        sub=sub,
+        tile_pixels=tile_pixels,
+        n_tiles=n_tiles,
+        n_pixels=n_pixels,
+        interpret=interpret,
+        sky_model=sky_model,
+        ablate=ablate,
+    )
+    img, iters = _mega_call_clustered(
+        (
+            cl.sph_super, cl.sph_cluster, cl.sph_slots,
+            cl.tri_super, cl.tri_cluster, cl.tri_slots,
+            cl.shade_table,
+        ),
+        scene.atlas if has_images else None,
+        camera,
+        sky,
+        key,
+        sample_offset,
+        pixel_base,
+        f_rows=F_ROWS,
+        **statics,
+    )
     if return_iters:
         return img, iters
     return img

@@ -92,7 +92,8 @@ def render_pixel_colors(
         from rt_tpu.wavefront import render_wavefront
 
         use_mega = cfg.renderer == "megakernel" or (
-            cfg.renderer == "auto" and mk.eligible(scene, cfg)
+            cfg.renderer == "auto"
+            and (mk.eligible(scene, cfg) or mk.eligible_clustered(scene, cfg))
         )
         if use_mega and jax.default_backend() not in ("cpu",):
             # Persistent megakernel: one Pallas program integrates the
