@@ -109,28 +109,132 @@ def build_clusters(mins: np.ndarray, maxs: np.ndarray):
     return slot_of_prim, slots, cluster_aabb, super_aabb
 
 
-def pack_sphere_slots(slots: np.ndarray, centers: np.ndarray, radius: np.ndarray) -> np.ndarray:
-    """Slot-ordered kernel sphere table f32[4, n_slots] (fields on
+MAX_INLINE_TEXREFS = 64  # 6-bit side-table ids in the essentials int row
+MAX_INLINE_CHECKERS = MAX_INLINE_TEXREFS  # back-compat alias
+
+
+def build_essentials(shade_cols: np.ndarray):
+    """Per-prim shading essentials as 4 PLAIN-VALUE f32 rows (they ride
+    the sublane-pad rows of the slot tables, so VMEM-free) plus a tiny
+    deduplicated checker side table.
+
+    The in-kernel fetch is a HIGHEST-precision one-hot matmul, which
+    reproduces float VALUES to ~2^-22 relative but cannot carry bit
+    patterns (sub-bf16 magnitudes flush to zero on the MXU).  So every
+    row is either a plain value or a small integer (< 2^22 survives the
+    matmul to within +-0.25 and rounds back exactly):
+
+      e0: ce.r   (dielectric: IOR — its attenuation is identically 1,
+                  material.rs:160, so colors are dead)
+      e1: ce.g
+      e2: ce.b
+      e3: int(kind<<20 | tex_kind<<18 | texref_id<<12 | fuzz_q12)
+
+    Per-texture data lives in the returned side table f32[8, 128]
+    indexed by texref_id — scenes keep a handful of distinct
+    checkers/images while prim counts reach millions:
+      checker entry rows: inv_scale, even rgb, odd rgb, pad
+      image entry rows:   front_dir xyz, rect x0 y0 w h  (sphere facing
+                          + atlas rect; the atlas itself is a separate
+                          VMEM input)
+
+    Returns (essentials f32[4, P], tex_table f32[8, 128], ok) — ok is
+    False when the scene exceeds MAX_INLINE_TEXREFS side entries or has
+    image-textured TRIANGLES (their per-vertex UVs don't fit the slot
+    tables; callers fall back to the HBM-DMA fetch path)."""
+    from rt_tpu import fast_shade as FS
+
+    kind = shade_cols[FS.F_MAT_KIND].astype(np.int64)
+    texk = shade_cols[FS.F_TEX_KIND].astype(np.int64)
+    is_sph = shade_cols[FS.F_IS_SPHERE] > 0.5
+    fuzz = shade_cols[FS.F_FUZZ]
+    ior = shade_cols[FS.F_IOR].astype(np.float32)
+    inv_scale = shade_cols[FS.F_INV_SCALE].astype(np.float32)
+    ce = shade_cols[FS.F_CE : FS.F_CE + 3].astype(np.float32)
+    co = shade_cols[FS.F_CO : FS.F_CO + 3].astype(np.float32)
+    fdir = shade_cols[FS.F_NX : FS.F_NX + 3].astype(np.float32)
+    rect = shade_cols[FS.F_RECT : FS.F_RECT + 4].astype(np.float32)
+
+    tex_table = np.zeros((8, 128), np.float32)
+    ref_id = np.zeros(shade_cols.shape[1], np.int64)
+    n_used = 0
+    ok = not bool((~is_sph & (texk == 2)).any())  # no image triangles
+
+    def dedupe(mask, rows):
+        nonlocal n_used, ok
+        if not mask.any() or not ok:
+            return
+        rec = rows[:, mask].T.copy().view([("", np.float32)] * rows.shape[0])
+        uniq, inv = np.unique(rec, return_inverse=True)
+        if n_used + len(uniq) > MAX_INLINE_TEXREFS:
+            ok = False
+            return
+        tex_table[: rows.shape[0], n_used : n_used + len(uniq)] = (
+            uniq.view(np.float32).reshape(len(uniq), rows.shape[0]).T
+        )
+        ref_id[mask] = n_used + inv.reshape(-1)
+        n_used += len(uniq)
+
+    dedupe(
+        texk == 1,
+        np.stack([inv_scale, ce[0], ce[1], ce[2], co[0], co[1], co[2]]),
+    )
+    dedupe(
+        is_sph & (texk == 2),
+        np.stack([fdir[0], fdir[1], fdir[2], rect[0], rect[1], rect[2], rect[3]]),
+    )
+
+    fuzz_q = np.clip(np.round(fuzz * 4095.0), 0, 4095).astype(np.int64)
+    e3 = (
+        ((kind & 3) << 20) | ((texk & 3) << 18) | ((ref_id & 63) << 12) | fuzz_q
+    ).astype(np.float32)
+    e0 = np.where(kind == 2, ior, ce[0]).astype(np.float32)
+    ess = np.stack([e0, ce[1], ce[2], e3])
+    return ess, tex_table, ok
+
+
+def pack_sphere_slots(
+    slots: np.ndarray,
+    centers: np.ndarray,
+    radius: np.ndarray,
+    essentials: np.ndarray | None = None,
+) -> np.ndarray:
+    """Slot-ordered kernel sphere table f32[8, n_slots] (fields on
     sublanes, slots on lanes — the VMEM-exact layout; a [n,4] table would
-    lane-pad 4 -> 128 and blow VMEM 32x); dummies r=0."""
+    lane-pad 4 -> 128 and blow VMEM 32x); dummies r=0.
+
+    Rows 0-3: center xyz, radius.  Rows 4-7: shade essentials
+    (build_essentials rows for this set's prims) — they live in the
+    sublane pad 4 -> 8, so the VMEM footprint is unchanged."""
     n = slots.shape[0]
-    out = np.zeros((4, n), np.float32)
+    out = np.zeros((8, n), np.float32)
     live = slots >= 0
     out[0:3, live] = centers[slots[live]].T
     out[3, live] = radius[slots[live]]
+    if essentials is not None:
+        out[4:8, live] = essentials[:, slots[live]]
     return out
 
 
-def pack_triangle_slots(slots: np.ndarray, a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """Slot-ordered kernel triangle table f32[12, n_slots]
-    (rows: a, e1, e2, valid, pad, pad; same lane layout rationale as
-    pack_sphere_slots); dummies valid=0."""
+def pack_triangle_slots(
+    slots: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    c: np.ndarray,
+    essentials: np.ndarray | None = None,
+) -> np.ndarray:
+    """Slot-ordered kernel triangle table f32[16, n_slots]
+    (rows: a, e1, e2, valid, essentials x4, pad x2; same lane layout
+    rationale and pad-row essentials as pack_sphere_slots); dummies
+    valid=0."""
     n = slots.shape[0]
-    out = np.zeros((12, n), np.float32)
+    out = np.zeros((16, n), np.float32)
     live = slots >= 0
     ids = slots[live]
     out[0:3, live] = a[ids].T
     out[3:6, live] = (b[ids] - a[ids]).T
     out[6:9, live] = (c[ids] - a[ids]).T
     out[9, live] = 1.0
+    if essentials is not None:
+        out[10:14, live] = essentials[:, slots[live]]
     return out

@@ -271,10 +271,10 @@ def _mega_kernel(
     # Ref layout (clustered=True):
     #   pf, pi, ssup[Ss_pad,8], scl[Ms_pad,8], sslots[Ms_pad*128,4],
     #   tsup[St_pad,8], tcl[Mt_pad,8], tslots[Mt_pad*128,12],
-    #   shade_hbm[slots_pad,128] (ANY), atlas,
+    #   shade_hbm[2F, slots_pad] (ANY), atlas,
     #   out, iters, sf, si, acc, feat_scr[SUB*F,G], wl_vmem[WS,128],
     #   wl_smem[WS,128], sup_vmem[1,128], sup_smem[1,128],
-    #   slice_vmem[128,128], dma_sem
+    #   slice_vmem[2F,128], dma_sem
     lanes,
     sub,
     tile_pixels,
@@ -302,16 +302,17 @@ def _mega_kernel(
     ablate,
     clustered=False,
     f_rows=0,
+    inline_shade=False,
 ):
     if clustered:
         (
             pf_ref, pi_ref,
             ssup_ref, scl_ref, sslots_ref, tsup_ref, tcl_ref, tslots_ref,
-            shade_hbm_ref, atlas_ref,
+            shade_hbm_ref, chk_ref, atlas_ref,
             out_ref, iters_ref,
             sf, si, acc,
             feat_scr, wl_vmem, wl_smem, sup_vmem, sup_smem,
-            slice_vmem, dma_sem,
+            slice_vmem, dma_sem, fetch_sems,
         ) = refs
         table_ref = None
     else:
@@ -730,53 +731,73 @@ def _mega_kernel(
                 then DMA all rows to SMEM.  ``member_mask64(sid)`` returns
                 the i32 [64, 1] membership mask for super ``sid``."""
 
-                def seg_body(j):
-                    sid = sup_smem[0, j]
-                    m64 = member_mask64(sid)
-                    seg = compact_col(m64)  # [1, 64] local ids
-                    seg = jnp.where(seg >= 0, seg + sid * SUPER_SLOTS, -1)
-                    cnt = jnp.sum(m64, axis=0, keepdims=True)  # [1,1] vector
-                    segp = jnp.concatenate(
-                        [seg, jnp.full((1, 64), -1, jnp.int32)], axis=1
-                    )
-                    rowv = jnp.where(
-                        lane128 == 64, jnp.broadcast_to(cnt, (1, 128)), segp
-                    )
-                    wl_vmem[pl.ds(j, 1), :] = rowv
-                    return j + 1
+                def seg_body(c):
+                    j, tot = c
+                    for _u in range(_SEG_UNROLL):
+                        jc = jnp.minimum(j, _WL_ROWS - 1)
+                        sid = jnp.maximum(sup_smem[0, jc], 0)
+                        m64 = member_mask64(sid)
+                        seg = compact_col(m64)  # [1, 64] local ids
+                        seg = jnp.where(seg >= 0, seg + sid * SUPER_SLOTS, -1)
+                        cnt = jnp.sum(m64, axis=0, keepdims=True)  # [1,1]
+                        segp = jnp.concatenate(
+                            [seg, jnp.full((1, 64), -1, jnp.int32)], axis=1
+                        )
+                        rowv = jnp.where(
+                            lane128 == 64,
+                            jnp.broadcast_to(cnt, (1, 128)),
+                            segp,
+                        )
+                        wl_vmem[pl.ds(jc, 1), :] = rowv
+                        valid = (j < n_ent).astype(f32)
+                        tot = tot + cnt.astype(f32) * valid
+                        j = j + 1
+                    return (j, tot)
 
-                jax.lax.while_loop(lambda j: j < n_ent, seg_body, jnp.int32(0))
+                _, total = jax.lax.while_loop(
+                    lambda c: c[0] < n_ent,
+                    seg_body,
+                    (jnp.int32(0), jnp.zeros((1, 1), f32)),
+                )
                 dma_to(wl_vmem, wl_smem)
+                return total  # [1,1] entered-cluster count (debug/stats)
 
             def entered_member_mask(cl_ref):
+                n_sup_tab = cl_ref.shape[0] // SUPER_SLOTS
+
                 def fn(sid):
-                    base = pl.multiple_of(sid * SUPER_SLOTS, SUPER_SLOTS)
+                    # Clamp: unrolled segment steps pass clamped/garbage
+                    # ids for masked tail visits.
+                    sidc = jnp.minimum(sid, n_sup_tab - 1)
+                    base = pl.multiple_of(sidc * SUPER_SLOTS, SUPER_SLOTS)
                     return pool_enter_mask(cl_ref[pl.ds(base, SUPER_SLOTS), :])
 
                 return fn
 
-            # Phase C runs with prims on LANES and rays on sublanes (the
-            # worklist kernel's phase-C orientation): the slot tables keep
-            # their [fields, slots] lane-major layout (a [slots, 4] table
-            # would lane-pad 4 -> 128 and blow VMEM 32x), and the pool's
-            # ray fields transpose ONCE per iteration to [G, SUB] columns.
-            rt_ox, rt_oy, rt_oz = ox.T, oy.T, oz.T
-            rt_dx, rt_dy, rt_dz = dx.T, dy.T, dz.T
-            rt_a, rt_inv_a = a.T, inv_a.T
-            slot_iota = jax.lax.broadcasted_iota(
-                jnp.int32, (G, CLUSTER_SLOTS), 1
+            # Phase C runs in the FLAT kernel's proven orientation — prim
+            # fields as [128, 1] columns broadcasting against [1, G] ray
+            # rows (2.3 us per chunk measured there).  The lane-major slot
+            # tables are transposed per visited cluster ([nrows, 128] ->
+            # [128, nrows], one small relayout); the mirrored orientation
+            # (rays as [G,1] columns) measured ~15 us per chunk — ~10
+            # lane-broadcast ray operands per chunk instead of 4-10 prim
+            # columns.
+            slot_iota_col = jax.lax.broadcasted_iota(
+                jnp.int32, (CLUSTER_SLOTS, G), 0
             )
 
-            def sph_chunk_key(sl, s):
+            def sph_chunk_key(sl_t, s):
                 """Packed (t | 7-bit local slot) min over a 128-slot sphere
-                chunk sl [4, 128] vs pool column s -> i32 [G, 1].  The 2^-16
-                relative t truncation is far below the scale-aware ray
-                offset (same scheme as the flat path's packed_select)."""
-                cx, cy, cz, rad = sl[0:1, :], sl[1:2, :], sl[2:3, :], sl[3:4, :]
-                oxs, oys, ozs = rt_ox[:, s : s + 1], rt_oy[:, s : s + 1], rt_oz[:, s : s + 1]
-                dxs, dys, dzs = rt_dx[:, s : s + 1], rt_dy[:, s : s + 1], rt_dz[:, s : s + 1]
-                a_s, inv_a_s = rt_a[:, s : s + 1], rt_inv_a[:, s : s + 1]
-                ocx = cx - oxs  # [G, 128]
+                chunk sl_t [128, nrows] vs state row s -> i32 [1, G].  The
+                2^-16 relative t truncation is far below the scale-aware
+                ray offset (same scheme as the flat path's packed_select)."""
+                cx, cy, cz, rad = (
+                    sl_t[:, 0:1], sl_t[:, 1:2], sl_t[:, 2:3], sl_t[:, 3:4]
+                )
+                oxs, oys, ozs = ox[s : s + 1, :], oy[s : s + 1, :], oz[s : s + 1, :]
+                dxs, dys, dzs = dx[s : s + 1, :], dy[s : s + 1, :], dz[s : s + 1, :]
+                a_s, inv_a_s = a[s : s + 1, :], inv_a[s : s + 1, :]
+                ocx = cx - oxs  # [128, G]
                 ocy = cy - oys
                 ocz = cz - ozs
                 h = dxs * ocx + dys * ocy + dzs * ocz
@@ -790,18 +811,18 @@ def _mega_kernel(
                     (disc >= 0.0) & (rad > 0.0) & (t_cand >= t_min) & (t_cand < t_max)
                 )
                 t_cand = jnp.where(valid, t_cand, BIG)
-                key = (pltpu.bitcast(t_cand, jnp.int32) & ~127) | slot_iota
-                return jnp.min(key, axis=1, keepdims=True)
+                key = (pltpu.bitcast(t_cand, jnp.int32) & ~127) | slot_iota_col
+                return jnp.min(key, axis=0, keepdims=True)
 
-            def tri_chunk_key(sl, s):
+            def tri_chunk_key(sl_t, s):
                 """Packed Moller-Trumbore min over a 128-slot triangle chunk
-                sl [12, 128] vs pool column s -> i32 [G, 1]."""
-                ax_, ay_, az_ = sl[0:1, :], sl[1:2, :], sl[2:3, :]
-                e1x, e1y, e1z = sl[3:4, :], sl[4:5, :], sl[5:6, :]
-                e2x, e2y, e2z = sl[6:7, :], sl[7:8, :], sl[8:9, :]
-                live_t = sl[9:10, :]
-                oxs, oys, ozs = rt_ox[:, s : s + 1], rt_oy[:, s : s + 1], rt_oz[:, s : s + 1]
-                dxs, dys, dzs = rt_dx[:, s : s + 1], rt_dy[:, s : s + 1], rt_dz[:, s : s + 1]
+                sl_t [128, nrows] vs state row s -> i32 [1, G]."""
+                ax_, ay_, az_ = sl_t[:, 0:1], sl_t[:, 1:2], sl_t[:, 2:3]
+                e1x, e1y, e1z = sl_t[:, 3:4], sl_t[:, 4:5], sl_t[:, 5:6]
+                e2x, e2y, e2z = sl_t[:, 6:7], sl_t[:, 7:8], sl_t[:, 8:9]
+                live_t = sl_t[:, 9:10]
+                oxs, oys, ozs = ox[s : s + 1, :], oy[s : s + 1, :], oz[s : s + 1, :]
+                dxs, dys, dzs = dx[s : s + 1, :], dy[s : s + 1, :], dz[s : s + 1, :]
                 uvx = dys * e2z - dzs * e2y
                 uvy = dzs * e2x - dxs * e2z
                 uvz = dxs * e2y - dys * e2x
@@ -832,43 +853,54 @@ def _mega_kernel(
                     & (tt > 1e-7)
                 )
                 t_cand = jnp.where(ok, tt, BIG)
-                key = (pltpu.bitcast(t_cand, jnp.int32) & ~127) | slot_iota
-                return jnp.min(key, axis=1, keepdims=True)
+                key = (pltpu.bitcast(t_cand, jnp.int32) & ~127) | slot_iota_col
+                return jnp.min(key, axis=0, keepdims=True)
 
             def sweep_entered(n_ent, slots_ref, chunk_key, shade_base, bt_t, bi_t):
                 """Flattened (super j, seg entry k) while loop over the
-                entered clusters; each step intersects one 128-slot chunk
-                and min-merges into the transposed [G, SUB] best carries."""
+                entered clusters, _SWEEP_UNROLL chunk visits per step: a
+                while-loop iteration in this kernel carries ~15 us of
+                boundary overhead (the bounce body's large live set), so
+                per-entry steps dominated the whole intersect; unrolled
+                visits amortize it.  Tail visits past the worklist end are
+                validity-masked (their chunk math runs on clamped ids)."""
+
+                n_cl_tab = slots_ref.shape[1] // CLUSTER_SLOTS
 
                 def ccond(c):
                     return c[0] < n_ent
 
                 def cbody(c):
                     j, k, bt_c, bi_c = c
-                    cnt = wl_smem[j, 64]
-                    valid = k < cnt
-                    ci = jnp.maximum(wl_smem[j, k], 0)
-                    base = pl.multiple_of(ci * CLUSTER_SLOTS, CLUSTER_SLOTS)
-                    sl = slots_ref[:, pl.ds(base, CLUSTER_SLOTS)]
-                    new_bt, new_bi = [], []
-                    for s in range(SUB):
-                        key = chunk_key(sl, s)  # [G, 1]
-                        ct = pltpu.bitcast(key & ~127, f32)
-                        btr = bt_c[:, s : s + 1]
-                        bir = bi_c[:, s : s + 1]
-                        better = valid & (ct < btr)
-                        new_bt.append(jnp.where(better, ct, btr))
-                        new_bi.append(
-                            jnp.where(better, shade_base + base + (key & 127), bir)
+                    for _u in range(_SWEEP_UNROLL):
+                        jc = jnp.minimum(j, _WL_ROWS - 1)
+                        cnt = wl_smem[jc, 64]
+                        valid = (j < n_ent) & (k < cnt)
+                        ci = jnp.clip(
+                            wl_smem[jc, jnp.minimum(k, 63)], 0, n_cl_tab - 1
                         )
-                    k2 = k + 1
-                    roll = k2 >= cnt
-                    return (
-                        jnp.where(roll, j + 1, j),
-                        jnp.where(roll, 0, k2),
-                        jnp.concatenate(new_bt, axis=1),
-                        jnp.concatenate(new_bi, axis=1),
-                    )
+                        base = pl.multiple_of(ci * CLUSTER_SLOTS, CLUSTER_SLOTS)
+                        sl_t = slots_ref[:, pl.ds(base, CLUSTER_SLOTS)].T
+                        new_bt, new_bi = [], []
+                        for s in range(SUB):
+                            key = chunk_key(sl_t, s)  # [1, G]
+                            ct = pltpu.bitcast(key & ~127, f32)
+                            btr = bt_c[s : s + 1, :]
+                            bir = bi_c[s : s + 1, :]
+                            better = valid & (ct < btr)
+                            new_bt.append(jnp.where(better, ct, btr))
+                            new_bi.append(
+                                jnp.where(
+                                    better, shade_base + base + (key & 127), bir
+                                )
+                            )
+                        bt_c = vstack(new_bt)
+                        bi_c = vstack(new_bi)
+                        k2 = k + 1
+                        roll = k2 >= cnt
+                        j = jnp.where(roll, j + 1, j)
+                        k = jnp.where(roll, 0, k2)
+                    return (j, k, bt_c, bi_c)
 
                 _, _, bt_t, bi_t = jax.lax.while_loop(
                     ccond, cbody, (jnp.int32(0), jnp.int32(0), bt_t, bi_t)
@@ -876,13 +908,20 @@ def _mega_kernel(
                 return bt_t, bi_t
 
             def cluster_nearest():
-                bt_t = jnp.full((G, SUB), BIG_TRUNC, f32)
-                bi_t = jnp.zeros((G, SUB), jnp.int32)
+                bt_t = jnp.full((SUB, G), BIG_TRUNC, f32)
+                bi_t = jnp.zeros((SUB, G), jnp.int32)
                 # n_sph_chunks / n_tri_chunks double as set-present flags in
                 # clustered mode (host sets them to 1 when the set is live).
                 if n_sph_chunks:
-                    n_ent = stage_super_list(pool_enter_mask(ssup_ref[:, :]))
-                    build_segments(n_ent, entered_member_mask(scl_ref))
+                    mask = pool_enter_mask(ssup_ref[:, :])
+                    n_ent = stage_super_list(mask)
+                    cl_mask_total = build_segments(
+                        n_ent, entered_member_mask(scl_ref)
+                    )
+                    if "countent" in ablate:  # debug: entered supers /
+                        # clusters per frame via the image accumulator
+                        acc[0:1, 2:3] += n_ent.astype(f32)
+                        acc[0:1, 3:4] += cl_mask_total
                     bt_t, bi_t = sweep_entered(
                         n_ent, sslots_ref, sph_chunk_key, 0, bt_t, bi_t
                     )
@@ -892,9 +931,7 @@ def _mega_kernel(
                     bt_t, bi_t = sweep_entered(
                         n_ent, tslots_ref, tri_chunk_key, n_sph_slots, bt_t, bi_t
                     )
-                bt = bt_t.T
-                bi = bi_t.T
-                return bt < BIG_TRUNC, bt, bi
+                return bt_t < BIG_TRUNC, bt_t, bi_t
 
             def winner_fetch(hit_m, bi_m):
                 """Gather winners' shade features: every lane's final winner
@@ -913,6 +950,11 @@ def _mega_kernel(
                     m = jnp.maximum(
                         m, jnp.max(eq.astype(jnp.int32), axis=1, keepdims=True)
                     )
+                # compact_col preserves ascending ids, so the staged list
+                # holds sphere winner supers first (global super ids order
+                # spheres before triangles) — the inline fetch walks the
+                # two ranges against their own slot tables.
+                n_sph_went = jnp.sum(m[: ms_pad // SUPER_SLOTS])
                 n_went = stage_super_list(m)
 
                 cl_iota = jax.lax.broadcasted_iota(jnp.int32, (SUPER_SLOTS, G), 0)
@@ -928,42 +970,327 @@ def _mega_kernel(
                         )
                     return m64
 
+                if "fetchnoseg" in ablate:
+                    return
                 build_segments(n_went, winner_members)
 
                 feat_scr[:, :] = jnp.zeros(feat_scr.shape, f32)
+                # Winner (cluster, local-slot) ids as f32 vectors, computed
+                # ONCE per bounce: the in-loop one-hot is then a loop-
+                # invariant-iota compare AND a [1,G] cluster-id compare —
+                # an iota+scalar-offset construction inside the while loop
+                # measured ~12 us per one-hot (92% of the fetch pass).
+                bi_loc = (bi_m & 127).astype(f32)  # [SUB, G]
+                bi_cl = jnp.where(hit_m, bi_m >> 7, -1).astype(f32)
+                loc_iota_col = jax.lax.broadcasted_iota(
+                    jnp.int32, (CLUSTER_SLOTS, 1), 0
+                ).astype(f32)
 
-                def fcond(c):
-                    return c[0] < n_went
+                # Ring fetch in THREE sem/vector-segregated loops: mixing
+                # semaphore ops (DMA start/wait) with vector work in one
+                # nested-while body measured ~43 us/step of serialization
+                # (the whole fetch was 85% of a 160k-scene frame), while
+                # each loop kind alone runs at sub-us/step.  So per chunk
+                # of up to _FETCH_RING winners: (1) a scalar-only loop
+                # starts every DMA, (2) a scalar-only loop waits them,
+                # (3) a sem-free vector loop does the one-hot matmuls.
+                def entry_gci(j, k):
+                    jc = jnp.minimum(j, _WL_ROWS - 1)
+                    return jnp.maximum(wl_smem[jc, jnp.minimum(k, 63)], 0)
 
-                def fbody(c):
-                    j, k = c
-                    cnt = wl_smem[j, 64]
-                    valid = k < cnt
-                    gci = jnp.maximum(wl_smem[j, k], 0)
-                    sbase = pl.multiple_of(gci * CLUSTER_SLOTS, CLUSTER_SLOTS)
-                    dma_to(
-                        shade_hbm_ref.at[pl.ds(sbase, CLUSTER_SLOTS), :],
-                        slice_vmem,
+                def fetch_dma(j, k, slot):
+                    gci = entry_gci(j, k)
+                    return pltpu.make_async_copy(
+                        shade_hbm_ref.at[
+                            pl.ds(pl.multiple_of(gci * 2 * F, 8), 2 * F), :
+                        ],
+                        slice_vmem.at[
+                            pl.ds(pl.multiple_of(slot * 2 * F, 8), 2 * F), :
+                        ],
+                        fetch_sems.at[slot],
                     )
-                    sl = slice_vmem[:, :]
-                    vf = jnp.where(valid, 1.0, 0.0)
-                    ddc = (((0,), (0,)), ((), ()))
-                    for s in range(SUB):
-                        oh = jnp.where(
-                            (cid_iota + sbase == bi_m[s : s + 1, :])
-                            & hit_m[s : s + 1, :],
-                            vf,
-                            0.0,
-                        )  # [128, G]
-                        res = jax.lax.dot_general(
-                            sl, oh, ddc, preferred_element_type=f32
-                        )  # [128 cols, G]; cols = hi(F) | lo(F) | pad
-                        feat_scr[pl.ds(s * F, F), :] += res[:F] + res[F : 2 * F]
+
+                def advance(j, k):
+                    cnt = wl_smem[jnp.minimum(j, _WL_ROWS - 1), 64]
                     k2 = k + 1
                     roll = k2 >= cnt
-                    return (jnp.where(roll, j + 1, j), jnp.where(roll, 0, k2))
+                    return jnp.where(roll, j + 1, j), jnp.where(roll, 0, k2)
 
-                jax.lax.while_loop(fcond, fbody, (jnp.int32(0), jnp.int32(0)))
+                if inline_shade:
+                    # INLINE fetch (the default): winners' geometry and
+                    # shade essentials live in the VMEM slot tables
+                    # (cluster.build_essentials fills the sublane-pad
+                    # rows), so the fetch is a sem-free while loop of
+                    # one-hot matmuls — no HBM DMA at all.  Per-winner HBM
+                    # block DMAs measured ~42 us each on this platform
+                    # (85% of a 160k-scene frame) regardless of buffering
+                    # structure.  HIGHEST precision reproduces the float
+                    # VALUES to ~2^-22 rel and the e3 int row (< 2^22) to
+                    # within +-0.25, which rounds back exactly.
+                    def inline_fetch(lo, hi, slots_ref, nrows, cl_off):
+                        # Accumulate into a WHILE CARRY (not scratch) and
+                        # visit _FETCH_UNROLL winners per step — while-loop
+                        # iterations in this kernel carry ~15 us of
+                        # boundary overhead (see sweep_entered).  Masked
+                        # tail visits use gci_f = -2, which matches no
+                        # lane's winner cluster (bi_cl is >= 0 or -1).
+                        n_cl_tab = slots_ref.shape[1] // CLUSTER_SLOTS
+
+                        def icond(c):
+                            return c[0] < hi
+
+                        def ibody(c):
+                            j, k, fc = c
+                            for _u in range(_FETCH_UNROLL):
+                                valid = j < hi
+                                gci = entry_gci(j, k)
+                                gci_f = jnp.where(
+                                    valid, gci.astype(f32), -2.0
+                                )
+                                ci = jnp.clip(gci - cl_off, 0, n_cl_tab - 1)
+                                base = pl.multiple_of(
+                                    ci * CLUSTER_SLOTS, CLUSTER_SLOTS
+                                )
+                                sl = slots_ref[:, pl.ds(base, CLUSTER_SLOTS)]
+                                ohs = [
+                                    jnp.where(
+                                        (loc_iota_col == bi_loc[s : s + 1, :])
+                                        & (bi_cl[s : s + 1, :] == gci_f),
+                                        1.0,
+                                        0.0,
+                                    )
+                                    for s in range(SUB)
+                                ]
+                                oh_all = jnp.concatenate(ohs, axis=1)
+                                fc = fc + jnp.dot(
+                                    sl,
+                                    oh_all,
+                                    preferred_element_type=f32,
+                                    precision=jax.lax.Precision.HIGHEST,
+                                )  # [nrows, SUB*G], exact f32
+                                j, k = advance(j, k)
+                            return (j, k, fc)
+
+                        feat0 = jnp.zeros((nrows, SUB * G), f32)
+                        _, _, feat = jax.lax.while_loop(
+                            icond, ibody, (lo, jnp.int32(0), feat0)
+                        )
+                        return feat
+
+                    feat_s = jnp.zeros((8, SUB * G), f32)
+                    feat_t = jnp.zeros((16, SUB * G), f32)
+                    if "fetchnoloop" not in ablate:
+                        if n_sph_chunks:
+                            feat_s = inline_fetch(
+                                jnp.int32(0), n_sph_went, sslots_ref, 8, 0
+                            )
+                        if n_tri_chunks:
+                            feat_t = inline_fetch(
+                                n_sph_went, n_went, tslots_ref, 16, ms_pad
+                            )
+
+                    # Unpack the raw fetched rows into the standard shade
+                    # features (see cluster.build_essentials layout).
+                    # Sphere and triangle contributions live on disjoint
+                    # lanes, so row r < 8 is simply their sum.
+                    def RW(r):
+                        def per_s(x):
+                            return [
+                                x[r : r + 1, s * G : (s + 1) * G]
+                                for s in range(SUB)
+                            ]
+
+                        rows_t = per_s(feat_t)
+                        if r < 8:
+                            rows_s = per_s(feat_s)
+                            return vstack(
+                                [a + b for a, b in zip(rows_s, rows_t)]
+                            )
+                        return vstack(rows_t)
+
+                    FS_ = fast_shade
+                    is_sph_lane = (bi_m < n_sph_slots) & hit_m
+                    ev = [
+                        jnp.where(is_sph_lane, RW(4 + q), RW(10 + q))
+                        for q in range(4)
+                    ]
+                    e3i = jnp.floor(ev[3] + 0.5).astype(jnp.int32)
+                    kind_i = (e3i >> 20) & 3
+                    texk_i = (e3i >> 18) & 3
+                    chk_i = (e3i >> 12) & 63
+                    fuzz = (e3i & 0xFFF).astype(f32) * np.float32(1 / 4095)
+                    is_d = kind_i == 2
+                    ior = jnp.where(is_d, ev[0], 1.0)
+                    ce_r = jnp.where(is_d, 1.0, ev[0])
+
+                    # Checker side table: one stacked one-hot dot over the
+                    # <= 64 deduplicated checkers of the scene.
+                    chk_f = chk_i.astype(f32)
+                    chk_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (128, 1), 0
+                    ).astype(f32)
+                    chk_ohs = [
+                        jnp.where(chk_iota == chk_f[s : s + 1, :], 1.0, 0.0)
+                        for s in range(SUB)
+                    ]
+                    chk_res = jnp.dot(
+                        chk_ref[:, :],
+                        jnp.concatenate(chk_ohs, axis=1),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [8, SUB*G]: inv_scale, even rgb, odd rgb, pad
+
+                    def CRW(r):
+                        return vstack(
+                            [
+                                chk_res[r : r + 1, s * G : (s + 1) * G]
+                                for s in range(SUB)
+                            ]
+                        )
+
+                    is_chk = texk_i == 1
+                    is_img = texk_i == 2  # image prims are spheres (the
+                    # inline_ok gate excludes image-textured triangles)
+                    tnx_r, tny_r, tnz_r = RW(3), RW(4), RW(5)  # tri e1
+                    t2x, t2y, t2z = RW(6), RW(7), RW(8)  # tri e2
+                    cnx = tny_r * t2z - tnz_r * t2y
+                    cny = tnz_r * t2x - tnx_r * t2z
+                    cnz = tnx_r * t2y - tny_r * t2x
+                    inv_cn = 1.0 / jnp.sqrt(
+                        jnp.maximum(cnx * cnx + cny * cny + cnz * cnz, 1e-20)
+                    )
+                    computed = {
+                        FS_.F_IS_SPHERE: jnp.where(is_sph_lane, 1.0, 0.0),
+                        FS_.F_AX: RW(0),
+                        FS_.F_AY: RW(1),
+                        FS_.F_AZ: RW(2),
+                        FS_.F_RADIUS: RW(3),
+                        # tri flat normal; image spheres' facing dir rides
+                        # the side table (entry rows 0-2).
+                        FS_.F_NX: jnp.where(is_img, CRW(0), cnx * inv_cn),
+                        FS_.F_NY: jnp.where(is_img, CRW(1), cny * inv_cn),
+                        FS_.F_NZ: jnp.where(is_img, CRW(2), cnz * inv_cn),
+                        FS_.F_MAT_KIND: kind_i.astype(f32),
+                        FS_.F_FUZZ: fuzz,
+                        FS_.F_IOR: ior,
+                        FS_.F_TEX_KIND: texk_i.astype(f32),
+                        FS_.F_INV_SCALE: CRW(0),
+                        FS_.F_CE + 0: jnp.where(is_chk, CRW(1), ce_r),
+                        FS_.F_CE + 1: jnp.where(is_chk, CRW(2), ev[1]),
+                        FS_.F_CE + 2: jnp.where(is_chk, CRW(3), ev[2]),
+                        FS_.F_CO + 0: CRW(4),
+                        FS_.F_CO + 1: CRW(5),
+                        FS_.F_CO + 2: CRW(6),
+                    }
+                    if has_images:
+                        zero = jnp.zeros((SUB, G), f32)
+                        computed.update(
+                            {
+                                # image entry rows 3-6 = atlas rect.
+                                FS_.F_RECT + 0: CRW(3),
+                                FS_.F_RECT + 1: CRW(4),
+                                FS_.F_RECT + 2: CRW(5),
+                                FS_.F_RECT + 3: CRW(6),
+                                # tri b/c verts for the barycentric UV
+                                # block (a + e1 / a + e2); sphere lanes'
+                                # values are garbage but is_sphere-gated.
+                                FS_.F_BX: RW(0) + RW(3),
+                                FS_.F_BY: RW(1) + RW(4),
+                                FS_.F_BZ: RW(2) + RW(5),
+                                FS_.F_CX: RW(0) + RW(6),
+                                FS_.F_CY: RW(1) + RW(7),
+                                FS_.F_CZ: RW(2) + RW(8),
+                                # per-vertex UVs: image triangles are
+                                # excluded from inline mode.
+                                FS_.F_UVA + 0: zero,
+                                FS_.F_UVA + 1: zero,
+                                FS_.F_UVA + 2: zero,
+                                FS_.F_UVA + 3: zero,
+                                FS_.F_UVA + 4: zero,
+                                FS_.F_UVA + 5: zero,
+                            }
+                        )
+                    return computed
+
+                def fetch_chunk(c):
+                    j0, k0 = c
+
+                    def s_cond(c2):
+                        i, j, k = c2
+                        return (i < _FETCH_RING) & (j < n_went)
+
+                    def s_body(c2):
+                        i, j, k = c2
+                        if "fetchnodma" not in ablate:
+                            fetch_dma(j, k, i).start()
+                        j2, k2 = advance(j, k)
+                        return (i + 1, j2, k2)
+
+                    n_started, j1, k1 = jax.lax.while_loop(
+                        s_cond, s_body, (jnp.int32(0), j0, k0)
+                    )
+
+                    if "fetchnodma" not in ablate:
+
+                        def w_body(c2):
+                            i, j, k = c2
+                            fetch_dma(j, k, i).wait()
+                            j2, k2 = advance(j, k)
+                            return (i + 1, j2, k2)
+
+                        jax.lax.while_loop(
+                            lambda c2: c2[0] < n_started,
+                            w_body,
+                            (jnp.int32(0), j0, k0),
+                        )
+
+                    def v_cond(c3):
+                        return c3[0] < n_started
+
+                    def v_body(c3):
+                        i, j, k = c3
+                        gci_f = entry_gci(j, k).astype(f32)
+                        sl = slice_vmem[
+                            pl.ds(pl.multiple_of(i * 2 * F, 8), 2 * F), :
+                        ]  # [2F, 128] hi|lo feature rows
+                        # NOTE: a winner-super's every segment entry has
+                        # >= 1 winner by construction, so no step is
+                        # invalid and no validity masking is needed.
+                        if "fetchnomm" not in ablate:
+                            # ONE stacked [2F,128] @ [128, SUB*G] dot.
+                            ohs = [
+                                jnp.where(
+                                    (loc_iota_col == bi_loc[s : s + 1, :])
+                                    & (bi_cl[s : s + 1, :] == gci_f),
+                                    1.0,
+                                    0.0,
+                                )
+                                for s in range(SUB)
+                            ]
+                            oh_all = jnp.concatenate(ohs, axis=1)
+                            res = jnp.dot(
+                                sl, oh_all, preferred_element_type=f32
+                            )  # [2F, SUB*G]
+                            for s in range(SUB):
+                                r = res[:, s * G : (s + 1) * G]
+                                feat_scr[pl.ds(s * F, F), :] += (
+                                    r[:F] + r[F : 2 * F]
+                                )
+                        j2, k2 = advance(j, k)
+                        return (i + 1, j2, k2)
+
+                    jax.lax.while_loop(v_cond, v_body, (jnp.int32(0), j0, k0))
+                    return (j1, k1)
+
+                if "fetchnoloop" not in ablate:
+                    jax.lax.while_loop(
+                        lambda c: c[0] < n_went,
+                        fetch_chunk,
+                        (jnp.int32(0), jnp.int32(0)),
+                    )
+                    if "countfetch" in ablate:  # debug: winner supers,
+                        # recovered from the image accumulator.
+                        acc[0:1, 1:2] += n_went.astype(f32)
 
         if "nointersect" in ablate:  # timing ablation: constant near hit
             hit = jnp.full((SUB, G), True)
@@ -994,25 +1321,34 @@ def _mega_kernel(
         # ---- shade-table fetch -------------------------------------------
         _row_cache = {}
         if clustered:
-            # Winner-cluster DMA fetch (see winner_fetch) fills feat_scr
-            # with each lane's feature column; missed lanes keep zeros
-            # (every downstream consumer is hit/cont-masked).
+            # Winner-cluster fetch (see winner_fetch): inline mode returns
+            # the unpacked feature dict; the image-scene DMA mode fills
+            # feat_scr with full-precision feature columns.  Missed lanes
+            # keep zeros (every downstream consumer is hit/cont-masked).
+            computed = None
             if "nofetch" not in ablate:
-                winner_fetch(hit, prim)
+                computed = winner_fetch(hit, prim)
             else:
                 feat_scr[:, :] = jnp.zeros(feat_scr.shape, f32)
 
-            def row(i):
-                r = _row_cache.get(i)
-                if r is None:
-                    r = vstack(
-                        [
-                            feat_scr[s * F + i : s * F + i + 1, :]
-                            for s in range(SUB)
-                        ]
-                    )
-                    _row_cache[i] = r
-                return r
+            if computed is not None:
+
+                def row(i):
+                    return computed[i]
+
+            else:
+
+                def row(i):
+                    r = _row_cache.get(i)
+                    if r is None:
+                        r = vstack(
+                            [
+                                feat_scr[s * F + i : s * F + i + 1, :]
+                                for s in range(SUB)
+                            ]
+                        )
+                        _row_cache[i] = r
+                    return r
 
         else:
             # One-hot MXU matmuls, one per state row.
@@ -1502,9 +1838,11 @@ def _mega_prep_clustered(cl_arrays, atlas, camera, sky, *, has_images, sky_model
     winner-cluster DMA fetch."""
     from rt_tpu.fast_shade import F_ROWS
 
-    sph_super, sph_cluster, sph_slots, tri_super, tri_cluster, tri_slots, shade = (
-        cl_arrays
-    )
+    (
+        sph_super, sph_cluster, sph_slots,
+        tri_super, tri_cluster, tri_slots,
+        shade, checker_table,
+    ) = cl_arrays
     pf, _, atlas_planar = _mega_prep(
         jnp.zeros((F_ROWS, 128), jnp.float32), atlas, camera, sky,
         has_images=has_images, sky_model=sky_model,
@@ -1514,13 +1852,28 @@ def _mega_prep_clustered(cl_arrays, atlas, camera, sky, *, has_images, sky_model
     scl = _nan_dummies(sph_cluster)
     tcl = _nan_dummies(tri_cluster)
     t_hi, t_lo = _hilo_rows(shade)  # [F, slots_pad] each
-    f = t_hi.shape[0]
-    shade_cols = jnp.zeros((t_hi.shape[1], 128), jnp.float32)
-    shade_cols = shade_cols.at[:, :f].set(t_hi.T)
-    shade_cols = shade_cols.at[:, f : 2 * f].set(t_lo.T)
+    # CLUSTER-BLOCKED feature-major layout [M_tot * 2F, 128]: cluster ci's
+    # [2F, 128] hi|lo slice lives at rows [ci*2F, +2F).  The winner DMA
+    # reads ONE contiguous 40 KB block (a flat [2F, slots] table makes the
+    # same slice 2F strided 512 B reads, measured ~33 us/DMA), and the
+    # slice feeds the fetch as a NATIVE [2F,128] @ [128,G] MXU dot (the
+    # slot-major alternative needs a per-step Mosaic transpose, ~11 us).
+    shade_cols = jnp.concatenate([t_hi, t_lo], axis=0)  # [2F, slots_pad]
+    f2 = shade_cols.shape[0]
+    m_tot = shade_cols.shape[1] // CLUSTER_SLOTS
+    shade_blocks = (
+        shade_cols.reshape(f2, m_tot, CLUSTER_SLOTS)
+        .transpose(1, 0, 2)
+        .reshape(m_tot * f2, CLUSTER_SLOTS)
+    )
+    chk = (
+        checker_table
+        if checker_table is not None
+        else jnp.zeros((8, 128), jnp.float32)
+    )
     return (
-        pf, shade_cols, atlas_planar,
-        ssup, scl, sph_slots, tsup, tcl, tri_slots,
+        pf, shade_blocks, atlas_planar,
+        ssup, scl, sph_slots, tsup, tcl, tri_slots, chk,
     )
 
 
@@ -1805,17 +2158,22 @@ _CL_STATICS = (
     "sky_model",
     "ablate",
     "f_rows",
+    "inline_shade",
 )
 
 _WL_ROWS = 64  # worklist segment rows (= max entered supers per set)
+_FETCH_RING = 32  # winner shade blocks DMA'd per fetch chunk
+_SWEEP_UNROLL = 4  # phase-C chunk visits per while step
+_SEG_UNROLL = 2  # segment builds per while step
+_FETCH_UNROLL = 4  # inline-fetch winner visits per while step
 
 
 @functools.partial(jax.jit, static_argnames=_CL_STATICS)
 def _mega_exec_clustered(
     pf,
-    shade_cols,  # f32[slots_pad, 128] HBM-resident (hi | lo | pad columns)
+    shade_cols,  # f32[M_tot*2F, 128] HBM-resident cluster-blocked hi/lo
     atlas_planar,
-    ssup, scl, sslots, tsup, tcl, tslots,
+    ssup, scl, sslots, tsup, tcl, tslots, chk,
     key,
     sample_offset,
     pixel_base,
@@ -1851,7 +2209,7 @@ def _mega_exec_clustered(
     }
     kernel = functools.partial(
         _mega_kernel,
-        p_pad=shade_cols.shape[0],
+        p_pad=shade_cols.shape[1],
         packed_select=False,
         atlas_h=atlas_h,
         clustered=True,
@@ -1862,6 +2220,10 @@ def _mega_exec_clustered(
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    # The DMA fetch ring (2.6 MB) only exists in the image fallback
+    # mode; inline mode reclaims it for scene tables (the 360k-sphere
+    # scene is within ~1 MB of the 16 MB scoped-vmem limit).
+    ring_rows = 8 if statics["inline_shade"] else _FETCH_RING * 2 * f_rows
     out, iters = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -1874,7 +2236,8 @@ def _mega_exec_clustered(
             full(tsup),
             full(tcl),
             full(tslots),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # shade_cols stays in HBM
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # shade_cols stays in HBM
+            full(chk),
             full(atlas_planar),
         ],
         out_specs=[
@@ -1894,11 +2257,16 @@ def _mega_exec_clustered(
             pltpu.SMEM((_WL_ROWS, 128), jnp.int32),  # wl_smem
             pltpu.VMEM((1, 128), jnp.int32),  # sup_vmem
             pltpu.SMEM((1, 128), jnp.int32),  # sup_smem
-            pltpu.VMEM((CLUSTER_SLOTS, 128), jnp.float32),  # shade slice
+            pltpu.VMEM((ring_rows, CLUSTER_SLOTS), jnp.float32),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((_FETCH_RING,)),  # fetch ring semaphores
         ],
+        # v5e has far more physical VMEM than the 16 MB default scoped
+        # limit; large slot tables + the unrolled loops' temporaries need
+        # the headroom (360k spheres = 11.5 MB of tables alone).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=interpret,
-    )(pf, pi, ssup, scl, sslots, tsup, tcl, tslots, shade_cols, atlas_planar)
+    )(pf, pi, ssup, scl, sslots, tsup, tcl, tslots, shade_cols, chk, atlas_planar)
     n_pixels = statics["n_pixels"]
     spp = statics["spp"]
     out = out.reshape(n_tiles, 3, nqp, 256)[:, :, :nq, :]
@@ -1922,15 +2290,16 @@ def _mega_call_clustered(
     **statics,
 ):
     """Single-dispatch clustered frame: prep + kernel in one jit."""
-    pf, shade_cols, atlas_planar, ssup, scl, sslots, tsup, tcl, tslots = (
-        _mega_prep_clustered(
-            cl_arrays, atlas, camera, sky,
-            has_images=statics["has_images"], sky_model=statics["sky_model"],
-        )
+    (
+        pf, shade_cols, atlas_planar,
+        ssup, scl, sslots, tsup, tcl, tslots, chk,
+    ) = _mega_prep_clustered(
+        cl_arrays, atlas, camera, sky,
+        has_images=statics["has_images"], sky_model=statics["sky_model"],
     )
     return _mega_exec_clustered(
         pf, shade_cols, atlas_planar, ssup, scl, sslots, tsup, tcl, tslots,
-        key, sample_offset, pixel_base, f_rows=f_rows, **statics,
+        chk, key, sample_offset, pixel_base, f_rows=f_rows, **statics,
     )
 
 
@@ -2176,12 +2545,13 @@ def _render_clustered(
         interpret=interpret,
         sky_model=sky_model,
         ablate=ablate,
+        inline_shade=bool(cl.inline_ok) and cl.checker_table is not None,
     )
     img, iters = _mega_call_clustered(
         (
             cl.sph_super, cl.sph_cluster, cl.sph_slots,
             cl.tri_super, cl.tri_cluster, cl.tri_slots,
-            cl.shade_table,
+            cl.shade_table, cl.checker_table,
         ),
         scene.atlas if has_images else None,
         camera,

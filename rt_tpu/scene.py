@@ -110,6 +110,12 @@ class ClusterData(struct.PyTreeNode):
     tri_slots: jnp.ndarray  # f32[12, Mt_pad*128]
     shade_table: jnp.ndarray  # f32[F, slots_pad] slot-ordered
     n_sph_slots: int = struct.field(pytree_node=False, default=0)
+    # Inline-fetch support (megakernel clustered mode): deduplicated
+    # checker parameters [8, 128] (rows: inv_scale, even rgb, odd rgb,
+    # pad) indexed by the essentials rows' 6-bit checker id, and whether
+    # the scene fits the inline encoding (<= 64 distinct checkers).
+    checker_table: jnp.ndarray | None = None
+    inline_ok: bool = struct.field(pytree_node=False, default=True)
 
 
 class SceneData(struct.PyTreeNode):
@@ -506,8 +512,15 @@ class SceneBuilder:
         t_max_ = np.maximum(np.maximum(tri_a[:nt], tri_b[:nt]), tri_c[:nt])
         _, t_slots, t_cl, t_sup = build_clusters(t_min_, t_max_)
 
-        sph_slot_tab = pack_sphere_slots(s_slots, sph_center, sph_radius)
-        tri_slot_tab = pack_triangle_slots(t_slots, tri_a, tri_b, tri_c)
+        from rt_tpu.cluster import build_essentials
+
+        ess, chk_table, inline_ok = build_essentials(shade_np)
+        sph_slot_tab = pack_sphere_slots(
+            s_slots, sph_center, sph_radius, ess[:, :ns]
+        )
+        tri_slot_tab = pack_triangle_slots(
+            t_slots, tri_a, tri_b, tri_c, ess[:, ns:]
+        )
 
         # Slot-ordered shade table: kernel winner ids index it directly.
         n_sph_slots = s_slots.shape[0]
@@ -528,8 +541,8 @@ class SceneBuilder:
         dummy_cl = np.zeros((64, 8), np.float32)
         dummy_cl[:, 0:3] = np.inf
         dummy_cl[:, 3:6] = -np.inf
-        dummy_sph = np.zeros((4, 64 * 128), np.float32)
-        dummy_tri = np.zeros((12, 64 * 128), np.float32)
+        dummy_sph = np.zeros((8, 64 * 128), np.float32)
+        dummy_tri = np.zeros((16, 64 * 128), np.float32)
         dummy_sup = np.zeros((1, 8), np.float32)
         dummy_sup[:, 0:3] = np.inf
         dummy_sup[:, 3:6] = -np.inf
@@ -591,6 +604,8 @@ class SceneBuilder:
             tri_slots=jnp.asarray(tri_slot_tab),
             shade_table=jnp.asarray(shade_slots),
             n_sph_slots=int(n_sph_slots),
+            checker_table=jnp.asarray(chk_table),
+            inline_ok=bool(inline_ok),
         )
 
     def _prim_bounds(self) -> tuple[np.ndarray, np.ndarray]:
