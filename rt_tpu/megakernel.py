@@ -112,6 +112,21 @@ _TM_A, _TM_B, _TM_C = 0.15, 0.50, 0.10
 _TM_D, _TM_E, _TM_F = 0.20, 0.02, 0.30
 
 
+def _chunk_plan(n_real, pad_total, step):
+    """Flat-sweep chunk plan: full `step`-sized chunks plus an 8-multiple
+    tail covering only the real prims (tables are padded to `pad_total`
+    rows)."""
+    if not n_real or not pad_total:
+        return []
+    full = n_real // step
+    plan = [(i * step, step) for i in range(full)]
+    rem = n_real - full * step
+    if rem:
+        tail = min(max(-(-rem // 8) * 8, 8), pad_total - full * step)
+        plan.append((full * step, tail))
+    return plan
+
+
 def _u2(x):
     a, b, c, d, e, f = _TM_A, _TM_B, _TM_C, _TM_D, _TM_E, _TM_F
     return (x * (a * x + c * b) + d * e) / (x * (a * x + b) + d * f) - e / f
@@ -304,6 +319,7 @@ def _mega_kernel(
     clustered=False,
     f_rows=0,
     inline_shade=False,
+    n_tris=0,
 ):
     if clustered:
         (
@@ -511,22 +527,27 @@ def _mega_kernel(
         a = dx * dx + dy * dy + dz * dz
         inv_a = 1.0 / a
 
-        def chunk_sweep(n_chunks, fn, carry):
-            """Static python unroll for small chunk counts: the slices
-            become compile-time constants and the Mosaic loop overhead
-            (carry phi + bounds check per step) disappears; fall back to
-            fori_loop only when unrolling would bloat the program."""
+        def chunk_sweep(plan, n_chunks, fn, carry):
+            """Static python unroll over the chunk plan (full-size chunks
+            plus an 8-multiple tail trimmed to the real prim count — the
+            463-prim bench scene otherwise sweeps 512 padded slots);
+            fall back to a uniform-chunk fori_loop only when unrolling
+            would bloat the program."""
             if not n_chunks:
                 return carry
-            if n_chunks <= 16:
-                for ci in range(n_chunks):
-                    carry = fn(ci, carry)
+            if len(plan) <= 16:
+                for base, size in plan:
+                    carry = fn(base, size, carry)
                 return carry
-            return jax.lax.fori_loop(0, n_chunks, fn, carry)
+            step = plan[0][1]
+            return jax.lax.fori_loop(
+                0, n_chunks, lambda ci, c: fn(ci * step, step, c), carry
+            )
 
         def lane_group_intersect(oxs, oys, ozs, dxs, dys, dzs, a_s, inv_a_s):
-            def sph_chunk(ci, best):
-                sph = sph_ref[pl.ds(ci * SPHERE_CHUNK, SPHERE_CHUNK), :]  # [C,4]
+            def sph_chunk_at(base, size, best):
+                sph = sph_ref[pl.ds(base, size), :]  # [C,4]
+                s_iota = jax.lax.broadcasted_iota(jnp.int32, (size, G), 0)
                 cx = sph[:, 0:1]
                 cy = sph[:, 1:2]
                 cz = sph[:, 2:3]
@@ -547,12 +568,12 @@ def _mega_kernel(
                 t_cand = jnp.where(valid, t_cand, BIG)
                 if packed_select:
                     key = (pltpu.bitcast(t_cand, jnp.int32) & ~id_mask) | (
-                        sid_iota + ci * SPHERE_CHUNK
+                        s_iota + base
                     )
                     return jnp.minimum(best, jnp.min(key, axis=0, keepdims=True))
                 bt, bi = best
                 cmin = jnp.min(t_cand, axis=0, keepdims=True)
-                ids = sid_iota + ci * SPHERE_CHUNK
+                ids = s_iota + base
                 sel = jnp.min(
                     jnp.where(t_cand == cmin, ids, jnp.int32(2**30)),
                     axis=0,
@@ -561,8 +582,9 @@ def _mega_kernel(
                 better = cmin < bt
                 return (jnp.where(better, cmin, bt), jnp.where(better, sel, bi))
 
-            def tri_chunk(ci, best):
-                tri = tri_ref[pl.ds(ci * TRI_CHUNK, TRI_CHUNK), :]  # [C,12]
+            def tri_chunk_at(base, size, best):
+                tri = tri_ref[pl.ds(base, size), :]  # [C,12]
+                t_iota = jax.lax.broadcasted_iota(jnp.int32, (size, G), 0)
                 ax_, ay_, az_ = tri[:, 0:1], tri[:, 1:2], tri[:, 2:3]
                 e1x, e1y, e1z = tri[:, 3:4], tri[:, 4:5], tri[:, 5:6]
                 e2x, e2y, e2z = tri[:, 6:7], tri[:, 7:8], tri[:, 8:9]
@@ -597,7 +619,7 @@ def _mega_kernel(
                     & (tt > 1e-7)
                 )
                 t_cand = jnp.where(ok, tt, BIG)
-                ids = tid_iota + ci * TRI_CHUNK + n_spheres
+                ids = t_iota + base + n_spheres
                 if packed_select:
                     key = (pltpu.bitcast(t_cand, jnp.int32) & ~id_mask) | ids
                     return jnp.minimum(best, jnp.min(key, axis=0, keepdims=True))
@@ -611,14 +633,18 @@ def _mega_kernel(
                 better = cmin < bt
                 return (jnp.where(better, cmin, bt), jnp.where(better, sel, bi))
 
+            sph_plan = _chunk_plan(
+                n_spheres, n_sph_chunks * SPHERE_CHUNK, SPHERE_CHUNK
+            )
+            tri_plan = _chunk_plan(n_tris, n_tri_chunks * TRI_CHUNK, TRI_CHUNK)
             if packed_select:
                 best = jnp.full((1, G), big_key | id_mask, jnp.int32)
-                best = chunk_sweep(n_sph_chunks, sph_chunk, best)
-                best = chunk_sweep(n_tri_chunks, tri_chunk, best)
+                best = chunk_sweep(sph_plan, n_sph_chunks, sph_chunk_at, best)
+                best = chunk_sweep(tri_plan, n_tri_chunks, tri_chunk_at, best)
                 return best
             carry2 = (jnp.full((1, G), BIG, f32), jnp.full((1, G), -1, jnp.int32))
-            carry2 = chunk_sweep(n_sph_chunks, sph_chunk, carry2)
-            carry2 = chunk_sweep(n_tri_chunks, tri_chunk, carry2)
+            carry2 = chunk_sweep(sph_plan, n_sph_chunks, sph_chunk_at, carry2)
+            carry2 = chunk_sweep(tri_plan, n_tri_chunks, tri_chunk_at, carry2)
             return carry2
 
         def vstack(rows):
@@ -1887,6 +1913,7 @@ def _mega_prep_clustered(cl_arrays, atlas, camera, sky, *, has_images, sky_model
         "n_spheres",
         "n_sph_chunks",
         "n_tri_chunks",
+        "n_tris",
         "max_depth",
         "t_min",
         "t_max",
@@ -1925,6 +1952,7 @@ def _mega_exec(
     n_spheres,
     n_sph_chunks,
     n_tri_chunks,
+    n_tris,
     max_depth,
     t_min,
     t_max,
@@ -1969,6 +1997,7 @@ def _mega_exec(
         n_spheres=n_spheres,
         n_sph_chunks=n_sph_chunks,
         n_tri_chunks=n_tri_chunks,
+        n_tris=n_tris,
         p_pad=shade_table.shape[1],
         max_depth=max_depth,
         t_min=t_min,
@@ -2029,6 +2058,7 @@ def _mega_exec(
         "n_spheres",
         "n_sph_chunks",
         "n_tri_chunks",
+        "n_tris",
         "max_depth",
         "t_min",
         "t_max",
@@ -2068,6 +2098,7 @@ def _mega_call(
     n_spheres,
     n_sph_chunks,
     n_tri_chunks,
+    n_tris,
     max_depth,
     t_min,
     t_max,
@@ -2109,6 +2140,7 @@ def _mega_call(
         n_spheres=n_spheres,
         n_sph_chunks=n_sph_chunks,
         n_tri_chunks=n_tri_chunks,
+        n_tris=n_tris,
         max_depth=max_depth,
         t_min=t_min,
         t_max=t_max,
@@ -2439,6 +2471,7 @@ def render_megakernel(
         n_spheres=scene.num_spheres,
         n_sph_chunks=s_pad // SPHERE_CHUNK if scene.num_spheres else 0,
         n_tri_chunks=-(-t_pad // TRI_CHUNK) if scene.num_triangles else 0,
+        n_tris=scene.num_triangles,
         max_depth=cfg.max_depth,
         t_min=float(cfg.t_min),
         t_max=float(cfg.t_max),
