@@ -320,6 +320,7 @@ def _mega_kernel(
     f_rows=0,
     inline_shade=False,
     n_tris=0,
+    spp_major=False,
 ):
     if clustered:
         (
@@ -415,20 +416,26 @@ def _mega_kernel(
     sunx, suny, sunz = pf_ref[0, _P_SUN], pf_ref[0, _P_SUN + 1], pf_ref[0, _P_SUN + 2]
     zy, zx, zyc = pf_ref[0, _P_ZY], pf_ref[0, _P_ZX], pf_ref[0, _P_ZYC]
 
-    inv_w = np.float32(1.0 / width)
+    def make_div_mod(d):
+        """(v // d, v % d) via exact-f32 division + correction."""
+        inv_d = np.float32(1.0 / d)
 
-    def div_mod_width(pix):
-        """(pix // width, pix % width) via exact-f32 division + correction."""
-        pf = pix.astype(f32)
-        q = jnp.floor(pf * inv_w).astype(jnp.int32)
-        r = pix - q * width
-        under = r < 0
-        q = jnp.where(under, q - 1, q)
-        r = jnp.where(under, r + width, r)
-        over = r >= width
-        q = jnp.where(over, q + 1, q)
-        r = jnp.where(over, r - width, r)
-        return q, r
+        def div_mod(v):
+            vf = v.astype(f32)
+            q = jnp.floor(vf * inv_d).astype(jnp.int32)
+            r = v - q * d
+            under = r < 0
+            q = jnp.where(under, q - 1, q)
+            r = jnp.where(under, r + d, r)
+            over = r >= d
+            q = jnp.where(over, q + 1, q)
+            r = jnp.where(over, r - d, r)
+            return q, r
+
+        return div_mod
+
+    div_mod_width = make_div_mod(width)
+    div_mod_spp = make_div_mod(spp)
 
     def body(carry):
         next_work, _, it = carry
@@ -458,8 +465,17 @@ def _mega_kernel(
         n_claimed = jnp.sum(jnp.where(claim, 1, 0))
         cw = jnp.maximum(claim_id, 0)
 
-        pix_l = cw & (NP - 1)
-        samp = (cw >> log2np) + sample_off
+        if spp_major:
+            # Sample-major work order: a pool refill claims ~R/spp
+            # CONTIGUOUS PIXELS x all their samples instead of R pixels of
+            # one sample — a 4x tighter primary footprint for the
+            # clustered mode's entered-cluster culling.  gwork (the RNG
+            # key) is unchanged, so images agree up to f32 sum order.
+            pix_l, samp_l = div_mod_spp(cw)
+            samp = samp_l + sample_off
+        else:
+            pix_l = cw & (NP - 1)
+            samp = (cw >> log2np) + sample_off
         pix = pix_base + pix_l
         gwork = samp * n_global + pix
 
@@ -2247,6 +2263,10 @@ def _mega_exec_clustered(
         atlas_h=atlas_h,
         clustered=True,
         f_rows=f_rows,
+        # Sample-major claims shrink the refill footprint ~spp-fold; the
+        # win beats the reordering cost from ~8 spp up (40k scene @16spp
+        # 5.5 -> 6.1 Mray/s; the 160k @4spp measured 3.8 -> 3.1).
+        spp_major=statics["spp"] >= 8,
         **kernel_kw,
     )
     g = lanes // sub
