@@ -81,6 +81,9 @@ def main(argv=None) -> int:
     parser.add_argument("--metrics", default=None, help="JSONL metrics path")
     parser.add_argument("--serve", type=int, default=None,
                         help="HTTP preview port (progressive mode)")
+    parser.add_argument("--term-preview", action="store_true",
+                        help="live in-terminal preview (ANSI half-blocks; "
+                        "kitty graphics when TERM supports it)")
     parser.add_argument("--probe", default=None, metavar="X,Y",
                         help="print click-debug info for pixel X,Y and exit")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -139,9 +142,24 @@ def main(argv=None) -> int:
             ).start()
             print(f"preview at http://localhost:{server.port}", file=sys.stderr)
 
+        term = None
+        if args.term_preview:
+            from rt_tpu.term_preview import TerminalPreview
+
+            term = TerminalPreview()
+
         def on_sweep(image, metrics):
             if server is not None:
                 server.update(image, metrics)
+            if term is not None:
+                term.update(
+                    image,
+                    {
+                        k: metrics[k]
+                        for k in ("pass", "total_spp", "mray_per_s")
+                        if k in metrics
+                    },
+                )
 
         image = renderer.run(max_passes=args.passes, on_sweep=on_sweep)
     else:
