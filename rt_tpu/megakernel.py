@@ -2216,7 +2216,7 @@ _CL_STATICS = (
     "inline_shade",
 )
 
-_WL_ROWS = 64  # worklist segment rows (= max entered supers per set)
+_WL_ROWS = 128  # worklist segment rows (= max entered supers per set)
 _FETCH_RING = 32  # winner shade blocks DMA'd per fetch chunk
 _SWEEP_UNROLL = 4  # phase-C chunk visits per while step
 _SEG_UNROLL = 2  # segment builds per while step
@@ -2403,7 +2403,9 @@ def eligible_clustered(scene: SceneData, cfg: RenderConfig) -> bool:
         _atlas_ok(scene)
         and int(cl.n_sph_slots) == ms_pad * CLUSTER_SLOTS
         and (ms_pad + mt_pad) // SUPER_SLOTS <= _WL_ROWS
-        and geom_bytes <= 13 << 20  # VMEM residency budget for slot tables
+        and geom_bytes <= 48 << 20  # VMEM residency budget for slot tables
+        # (vmem_limit_bytes raises the scoped limit well past the 16 MB
+        # default; 48 MB covers ~1.5M spheres or ~700k triangles)
     )
 
 
