@@ -158,7 +158,7 @@ def build_essentials(shade_cols: np.ndarray):
     tex_table = np.zeros((8, 128), np.float32)
     ref_id = np.zeros(shade_cols.shape[1], np.int64)
     n_used = 0
-    ok = not bool((~is_sph & (texk == 2)).any())  # no image triangles
+    ok = True
 
     def dedupe(mask, rows):
         nonlocal n_used, ok
@@ -182,6 +182,14 @@ def build_essentials(shade_cols: np.ndarray):
     dedupe(
         is_sph & (texk == 2),
         np.stack([fdir[0], fdir[1], fdir[2], rect[0], rect[1], rect[2], rect[3]]),
+    )
+    # Image-textured TRIANGLES dedupe by atlas rect alone (facing rows
+    # zeroed: triangles use their derived flat normal, never the table's);
+    # their per-vertex UVs ride the 24-row triangle slot table.
+    zero = np.zeros_like(rect[0])
+    dedupe(
+        ~is_sph & (texk == 2),
+        np.stack([zero, zero, zero, rect[0], rect[1], rect[2], rect[3]]),
     )
 
     fuzz_q = np.clip(np.round(fuzz * 4095.0), 0, 4095).astype(np.int64)
@@ -222,13 +230,19 @@ def pack_triangle_slots(
     b: np.ndarray,
     c: np.ndarray,
     essentials: np.ndarray | None = None,
+    uva: np.ndarray | None = None,
 ) -> np.ndarray:
     """Slot-ordered kernel triangle table f32[16, n_slots]
     (rows: a, e1, e2, valid, essentials x4, pad x2; same lane layout
     rationale and pad-row essentials as pack_sphere_slots); dummies
-    valid=0."""
+    valid=0.
+
+    With ``uva`` (f32[6, n_tris] per-vertex UVs — present when the scene
+    has image-textured triangles) the table grows to [24, n_slots] with
+    the UVs at rows 16-21 in full precision."""
     n = slots.shape[0]
-    out = np.zeros((16, n), np.float32)
+    rows = 24 if uva is not None else 16
+    out = np.zeros((rows, n), np.float32)
     live = slots >= 0
     ids = slots[live]
     out[0:3, live] = a[ids].T
@@ -237,4 +251,6 @@ def pack_triangle_slots(
     out[9, live] = 1.0
     if essentials is not None:
         out[10:14, live] = essentials[:, slots[live]]
+    if uva is not None:
+        out[16:22, live] = uva[:, ids]
     return out

@@ -1126,8 +1126,9 @@ def _mega_kernel(
                         )
                         return feat
 
+                    tri_rows = tslots_ref.shape[0]  # 16, or 24 with UVs
                     feat_s = jnp.zeros((8, SUB * G), f32)
-                    feat_t = jnp.zeros((16, SUB * G), f32)
+                    feat_t = jnp.zeros((tri_rows, SUB * G), f32)
                     if "fetchnoloop" not in ablate:
                         if n_sph_chunks:
                             feat_s = inline_fetch(
@@ -1135,7 +1136,7 @@ def _mega_kernel(
                             )
                         if n_tri_chunks:
                             feat_t = inline_fetch(
-                                n_sph_went, n_went, tslots_ref, 16, ms_pad
+                                n_sph_went, n_went, tslots_ref, tri_rows, ms_pad
                             )
 
                     # Unpack the raw fetched rows into the standard shade
@@ -1214,11 +1215,18 @@ def _mega_kernel(
                         FS_.F_AY: RW(1),
                         FS_.F_AZ: RW(2),
                         FS_.F_RADIUS: RW(3),
-                        # tri flat normal; image spheres' facing dir rides
-                        # the side table (entry rows 0-2).
-                        FS_.F_NX: jnp.where(is_img, CRW(0), cnx * inv_cn),
-                        FS_.F_NY: jnp.where(is_img, CRW(1), cny * inv_cn),
-                        FS_.F_NZ: jnp.where(is_img, CRW(2), cnz * inv_cn),
+                        # tri flat normal; image SPHERES' facing dir rides
+                        # the side table (entry rows 0-2; image triangles
+                        # keep the derived normal).
+                        FS_.F_NX: jnp.where(
+                            is_img & is_sph_lane, CRW(0), cnx * inv_cn
+                        ),
+                        FS_.F_NY: jnp.where(
+                            is_img & is_sph_lane, CRW(1), cny * inv_cn
+                        ),
+                        FS_.F_NZ: jnp.where(
+                            is_img & is_sph_lane, CRW(2), cnz * inv_cn
+                        ),
                         FS_.F_MAT_KIND: kind_i.astype(f32),
                         FS_.F_FUZZ: fuzz,
                         FS_.F_IOR: ior,
@@ -1249,14 +1257,14 @@ def _mega_kernel(
                                 FS_.F_CX: RW(0) + RW(6),
                                 FS_.F_CY: RW(1) + RW(7),
                                 FS_.F_CZ: RW(2) + RW(8),
-                                # per-vertex UVs: image triangles are
-                                # excluded from inline mode.
-                                FS_.F_UVA + 0: zero,
-                                FS_.F_UVA + 1: zero,
-                                FS_.F_UVA + 2: zero,
-                                FS_.F_UVA + 3: zero,
-                                FS_.F_UVA + 4: zero,
-                                FS_.F_UVA + 5: zero,
+                                # per-vertex UVs: tri-table rows 16-21
+                                # when the scene has image triangles.
+                                FS_.F_UVA + 0: RW(16) if tri_rows >= 22 else zero,
+                                FS_.F_UVA + 1: RW(17) if tri_rows >= 22 else zero,
+                                FS_.F_UVA + 2: RW(18) if tri_rows >= 22 else zero,
+                                FS_.F_UVA + 3: RW(19) if tri_rows >= 22 else zero,
+                                FS_.F_UVA + 4: RW(20) if tri_rows >= 22 else zero,
+                                FS_.F_UVA + 5: RW(21) if tri_rows >= 22 else zero,
                             }
                         )
                     return computed
@@ -2396,9 +2404,12 @@ def eligible_clustered(scene: SceneData, cfg: RenderConfig) -> bool:
         return False
     ms_pad = cl.sph_cluster.shape[0]
     mt_pad = cl.tri_cluster.shape[0]
-    # Lane-major slot tables tile as (8, 128) in VMEM: [4, N] pads to 8
-    # sublanes, [12, N] to 16.
-    geom_bytes = ms_pad * 128 * 8 * 4 + mt_pad * 128 * 16 * 4
+    # Lane-major slot tables tile as (8, 128) in VMEM; tri tables carry
+    # 16 rows (24 with image-triangle UVs).
+    geom_bytes = (
+        ms_pad * 128 * cl.sph_slots.shape[0] * 4
+        + mt_pad * 128 * cl.tri_slots.shape[0] * 4
+    )
     return (
         _atlas_ok(scene)
         and int(cl.n_sph_slots) == ms_pad * CLUSTER_SLOTS

@@ -513,13 +513,21 @@ class SceneBuilder:
         _, t_slots, t_cl, t_sup = build_clusters(t_min_, t_max_)
 
         from rt_tpu.cluster import build_essentials
+        from rt_tpu.fast_shade import F_IS_SPHERE, F_TEX_KIND, F_UVA
 
         ess, chk_table, inline_ok = build_essentials(shade_np)
         sph_slot_tab = pack_sphere_slots(
             s_slots, sph_center, sph_radius, ess[:, :ns]
         )
+        has_img_tris = bool(
+            (
+                (shade_np[F_IS_SPHERE, ns:] < 0.5)
+                & (shade_np[F_TEX_KIND, ns:] > 1.5)
+            ).any()
+        )
         tri_slot_tab = pack_triangle_slots(
-            t_slots, tri_a, tri_b, tri_c, ess[:, ns:]
+            t_slots, tri_a, tri_b, tri_c, ess[:, ns:],
+            uva=shade_np[F_UVA : F_UVA + 6, ns:] if has_img_tris else None,
         )
 
         # Slot-ordered shade table: kernel winner ids index it directly.

@@ -128,6 +128,33 @@ def test_clustered_sphere_heavy_scene():
     assert decorrelated <= 0.02 * W * H, decorrelated
 
 
+def test_clustered_image_textured_triangles():
+    """>128 image-textured triangles take the inline fetch with the
+    24-row tri table (full-precision per-vertex UVs at rows 16-21) and
+    the rect side-table entry — the glTF mesh-scene shape."""
+    rng = np.random.default_rng(7)
+    b = SceneBuilder()
+    b.add_sphere((0, 0, -1000), 1000, b.lambertian(b.solid_color((0.5, 0.5, 0.5))))
+    img = rng.uniform(0.1, 1.0, (16, 16, 3)).astype(np.float32)
+    mat = b.metal(b.image_texture(img), fuzz=0.05)
+    for i in range(140):
+        c = rng.uniform(-3, 3, 3)
+        c[2] = rng.uniform(0.2, 2.0)
+        d1 = rng.uniform(-0.4, 0.4, 3)
+        d2 = rng.uniform(-0.4, 0.4, 3)
+        uv = rng.uniform(0, 1, (3, 2))
+        b.add_triangle(
+            tuple(c), tuple(c + d1), tuple(c + d2), mat,
+            uv_a=tuple(uv[0]), uv_b=tuple(uv[1]), uv_c=tuple(uv[2]),
+        )
+    scene = b.build(sky=SkyParams.default())
+    assert scene.clusters is not None and scene.clusters.inline_ok
+    assert scene.clusters.tri_slots.shape[0] == 24
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=2, max_depth=6)
+    assert eligible_clustered(scene, cfg)
+    _compare(scene, _camera(), cfg)
+
+
 def test_clustered_sample_offset_chunks_match_monolithic():
     """Progressive accumulation semantics survive the clustered route."""
     scene = _tri_cloud_scene(n_tris=135, with_materials=False)
