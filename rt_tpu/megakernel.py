@@ -2371,9 +2371,11 @@ def _mega_call_clustered(
 
 
 def _atlas_ok(scene: SceneData) -> bool:
-    # Channel-planar atlas must stay VMEM-resident (~2 MB budget).
+    # Channel-planar atlas must stay VMEM-resident (hi|lo split = 24
+    # bytes per texel; vmem_limit_bytes raises the scoped ceiling well
+    # past the 16 MB default, so ~24 MB of atlas is affordable).
     return (not scene.has_image_textures) or (
-        scene.atlas.shape[0] * max(scene.atlas.shape[1], 128) * 12 <= 2 << 20
+        scene.atlas.shape[0] * max(scene.atlas.shape[1], 128) * 24 <= 24 << 20
     )
 
 

@@ -99,10 +99,15 @@ def render_pixel_colors(
             # Persistent megakernel: one Pallas program integrates the
             # whole frame chunk.  Deep frames amortize the per-dispatch
             # floor (tunnel RPC + prep, ~57 ms measured 2026-08-17), so
-            # the chunk cap is high; it exists only to bound single-
-            # kernel runtime (checkpointability) and the i32 work-queue
-            # range (tile_pixels * spp < 2^31 with huge margin at 512).
-            spp_chunk = max(1, min(spp, 512))
+            # the chunk cap is high; it bounds single-kernel runtime
+            # (checkpointability AND the device watchdog: a 46M-ray
+            # clustered dispatch at ~1.5 Mray/s ran ~30 s and faulted
+            # the TPU) and the i32 work-queue range.  Clustered scenes
+            # run ~10-50x fewer Mray/s than the flat path, so their
+            # per-dispatch ray budget is proportionally smaller.
+            flat_path = mk.eligible(scene, cfg)
+            ray_budget = (64 << 20) if flat_path else (6 << 20)
+            spp_chunk = max(1, min(spp, 512, ray_budget // max(n_pixels, 1)))
             if spp_chunk >= spp:
                 flat = mk.render_megakernel(
                     scene, camera, cfg, spp, sample_offset, key,
