@@ -25,9 +25,10 @@ import numpy as np
 
 
 def _to_u8(image_linear: np.ndarray) -> np.ndarray:
-    """Linear f32[H,W,3] -> gamma-corrected u8 (color.py pipeline)."""
+    """Linear f32[H,W,3] -> gamma-corrected u8 (color.py pipeline: the
+    reference's gamma 1/2.2, vec3.rs:39-42)."""
     img = np.clip(np.asarray(image_linear, np.float32), 0.0, 1.0)
-    return (np.sqrt(img) * 255.0 + 0.5).astype(np.uint8)  # gamma 1/2
+    return (img ** (1.0 / 2.2) * 255.0 + 0.5).astype(np.uint8)
 
 
 def _box_downsample(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -24,9 +24,10 @@ def test_ansi_frame_structure():
 
 
 def test_ansi_frame_gamma_and_range():
-    # A mid-gray linear 0.25 should display as ~sqrt(0.25)=0.5 -> ~128.
+    # Mid-gray linear 0.25 through the production gamma (1/2.2,
+    # vec3.rs:39-42): 0.25**(1/2.2)*255 = 135.x -> 135/136.
     frame = ansi_frame(np.full((4, 4, 3), 0.25, np.float32), max_cols=4)
-    assert "38;2;127;" in frame or "38;2;128;" in frame
+    assert "38;2;135;" in frame or "38;2;136;" in frame
 
 
 def test_kitty_frame_chunking():
