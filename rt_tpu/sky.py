@@ -26,6 +26,7 @@ Known divergences from the reference, both documented:
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 from flax import struct
@@ -46,8 +47,8 @@ class SkyParams(struct.PyTreeNode):
     # the Perez model below.  The published dataset interpolates these 10
     # numbers from (turbidity, albedo, sun elevation); this slot holds one
     # such configuration directly — see HW_REFERENCE_FIT for the one fitted
-    # against the reference's own golden render, and hosek_config() to
-    # build params from any external dataset interpolation.
+    # against the reference's own golden render, and hosek_config() for the
+    # live (turbidity, albedo, elevation) dataset interpolation.
     hw_params: jnp.ndarray | None = None
     # Reference quirk (hittable.rs:86): the dot product cos(gamma), clamped
     # to [-1, 1], is passed where the sky model expects the *angle* gamma,
@@ -65,6 +66,34 @@ class SkyParams(struct.PyTreeNode):
             sun_direction=jnp.array([0.0, 0.0, 1.0], jnp.float32),
             turbidity=jnp.asarray(2.0, jnp.float32),
             exposure=jnp.asarray(0.25, jnp.float32),
+        )
+
+    @staticmethod
+    def hosek(
+        turbidity=3.0,
+        albedo=0.2,
+        elevation=None,
+        sun_direction=None,
+        exposure=1.0,
+    ) -> "SkyParams":
+        """Hosek-Wilkie sky at a LIVE (turbidity, albedo, elevation)
+        configuration via the dataset interpolation (``hosek_config``).
+        If ``elevation`` is None it is derived from ``sun_direction``
+        (asin of the z component); sun defaults to +z (hittable.rs:38).
+        Uses the corrected gamma semantics (no cos-as-angle quirk); use
+        ``hosek_reference()`` for exact reference parity."""
+        if sun_direction is None:
+            sun_direction = jnp.array([0.0, 0.0, 1.0], jnp.float32)
+        sun = jnp.asarray(sun_direction, jnp.float32)
+        sun = sun / jnp.linalg.norm(sun)
+        if elevation is None:
+            elevation = jnp.arcsin(jnp.clip(sun[2], -1.0, 1.0))
+        turbidity = jnp.asarray(turbidity, jnp.float32)
+        return SkyParams(
+            sun_direction=sun,
+            turbidity=turbidity,
+            exposure=jnp.asarray(exposure, jnp.float32),
+            hw_params=hosek_config(turbidity, albedo, elevation),
         )
 
     @staticmethod
@@ -199,6 +228,77 @@ HW_REFERENCE_FIT = np.array([
     [-0.5307202, -0.627763, 1.301451, 0.3937595, 0.215148, 0.3467761, 0.344817, 0.6351792, 0.8778835, 0.3376637],
     [-0.4482514, -0.6766365, 1.381625, 0.4830969, 0.5850139, 0.4258644, 0.4260356, 0.6652659, 1.022361, 0.4170587],
 ], np.float32)
+
+
+_HW_DATASET_CACHE: dict | None = None
+
+
+def _hw_dataset() -> dict:
+    """Lazy-load the generated H-W coefficient dataset
+    (rt_tpu/data/hw_dataset.npz, produced by tools/gen_hw_dataset.py).
+
+    The published Hosek-Wilkie 2012 tables are not redistributable inside
+    this repo snapshot; the shipped dataset was GENERATED by fitting the
+    H-W distribution form per (turbidity, albedo, elevation) grid point to
+    this repo's Perez/Preetham model plus an approximate ground-albedo
+    lift — same grid axes and cube-root elevation warping as the published
+    model, same interpolation machinery, approximate absolute values.
+    """
+    global _HW_DATASET_CACHE
+    if _HW_DATASET_CACHE is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "data", "hw_dataset.npz")
+        with np.load(path) as z:
+            _HW_DATASET_CACHE = {k: z[k] for k in z.files}
+    return _HW_DATASET_CACHE
+
+
+def hosek_config(
+    turbidity,
+    albedo,
+    elevation,
+) -> jnp.ndarray:
+    """(turbidity, albedo, solar elevation) -> f32[3, 10] H-W configuration
+    for ``SkyParams.hw_params`` — the analog of the hw-skymodel crate's
+    ``SkyState::new(SkyParams { elevation, turbidity, albedo })``
+    (hittable.rs:84-93, Cargo.toml:15).
+
+    Differentiable in all three arguments (piecewise-linear interpolation
+    over the dataset grid: turbidity knots 1..10, albedo {0, 1}, elevation
+    knots uniform in (2*eta/pi)^(1/3) — the published model's elevation
+    warping).  Inputs are clipped to the grid's domain.  See
+    ``_hw_dataset`` for the provenance of the shipped table values;
+    ``SkyParams.hosek_reference()`` remains the exact reference-parity pin.
+    """
+    ds = _hw_dataset()
+    params = jnp.asarray(ds["params"])  # [10, 9, 2, 3, 10]
+    n_t, n_e, _, _, _ = params.shape
+
+    t = jnp.clip(jnp.asarray(turbidity, jnp.float32), 1.0, float(n_t)) - 1.0
+    t0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n_t - 2)
+    tw = t - t0.astype(jnp.float32)
+
+    eta = jnp.clip(jnp.asarray(elevation, jnp.float32), 0.0, np.pi / 2)
+    x = jnp.power(eta * np.float32(2.0 / np.pi), np.float32(1.0 / 3.0))
+    e = x * (n_e - 1)
+    e0 = jnp.clip(jnp.floor(e).astype(jnp.int32), 0, n_e - 2)
+    ew = e - e0.astype(jnp.float32)
+
+    aw = jnp.clip(jnp.asarray(albedo, jnp.float32), 0.0, 1.0)
+
+    def at(ti, ei):
+        p = jax.lax.dynamic_slice(params, (ti, ei, 0, 0, 0), (1, 1, 2, 3, 10))
+        p = p[0, 0]  # [2, 3, 10]
+        return p[0] * (1.0 - aw) + p[1] * aw  # [3, 10]
+
+    p00 = at(t0, e0)
+    p01 = at(t0, e0 + 1)
+    p10 = at(t0 + 1, e0)
+    p11 = at(t0 + 1, e0 + 1)
+    p0 = p00 * (1.0 - ew) + p01 * ew
+    p1 = p10 * (1.0 - ew) + p11 * ew
+    return p0 * (1.0 - tw) + p1 * tw
 
 
 def hosek_radiance_rgb(
