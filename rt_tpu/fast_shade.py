@@ -57,6 +57,10 @@ F_RECT = 19  # image rect x0,y0,w,h: 19..22
 F_BX, F_BY, F_BZ = 23, 24, 25  # triangle vertex b
 F_CX, F_CY, F_CZ = 26, 27, 28  # triangle vertex c
 F_UVA = 29  # triangle uvs: a.u a.v b.u b.v c.u c.v -> 29..34
+# Precomputed sphere-UV orientation trig (cos/sin of the facing dir's yaw
+# and pitch, hittable.rs:379-391): the rotation is per-PRIMITIVE, so the
+# table carries its trig and the kernels skip 2 atan2 + 2 sincos per lane.
+F_CYW, F_SYW, F_CP, F_SP = 35, 36, 37, 38
 F_ROWS = 40  # padded to a sublane multiple
 
 
@@ -137,6 +141,13 @@ def build_shade_table(
     table[F_AX : F_AZ + 1, :ns] = np.asarray(sph_center[:ns]).T
     table[F_RADIUS, :ns] = np.asarray(sph_radius[:ns])
     table[F_NX : F_NZ + 1, :ns] = np.asarray(sph_front[:ns]).T
+    sfx, sfy, sfz = (np.asarray(sph_front[:ns], np.float32).T + 0.0)[:3]
+    pitch = np.arctan2(sfz, np.sqrt(sfx * sfx + sfy * sfy + 1e-20))
+    yaw = np.arctan2(sfy, sfx)
+    table[F_CYW, :ns] = np.cos(yaw)
+    table[F_SYW, :ns] = np.sin(yaw)
+    table[F_CP, :ns] = np.cos(pitch)
+    table[F_SP, :ns] = np.sin(pitch)
     tc = slice(ns, ns + nt)
     table[F_AX : F_AZ + 1, tc] = np.asarray(tri_a[:nt]).T
     table[F_BX : F_BZ + 1, tc] = np.asarray(tri_b[:nt]).T
@@ -227,13 +238,12 @@ def shade_bounce(
     front = jnp.where(is_sphere, s_front, t_front)
 
     # --- UV (sphere: hittable.rs:367-406; tri: 466-481). ----------------
-    fx, fy, fz = f[F_NX], f[F_NY], f[F_NZ]  # sphere front_dir shares rows
-    pitch = jnp.arctan2(fz, jnp.sqrt(fx * fx + fy * fy + 1e-20))
-    yaw = jnp.arctan2(fy, fx)
-    cyw, syw = jnp.cos(yaw), jnp.sin(yaw)
+    # The facing rotation's trig is per-primitive and precomputed in the
+    # shade table (F_CYW..F_SP) — no per-lane atan2/sincos needed.
+    cyw, syw = f[F_CYW], f[F_SYW]
     qx = cyw * snx + syw * sny
     qy = -syw * snx + cyw * sny
-    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    cp, sp = f[F_CP], f[F_SP]
     rx = cp * qx + sp * snz
     ry = qy
     rz = -sp * qx + cp * snz

@@ -1480,15 +1480,23 @@ def _mega_kernel(
         if has_images and "noimg" not in ablate:
             # UV (sphere: hittable.rs:367-406 via fast_shade's scalarized
             # form; triangle barycentric recompute hittable.rs:433-452).
-            fx_, fy_, fz_ = row(FS.F_NX), row(FS.F_NY), row(FS.F_NZ)
-            pitch = _atan2(fz_, jnp.sqrt(fx_ * fx_ + fy_ * fy_ + 1e-20))
-            yaw = _atan2(fy_, fx_)
-            syw, cyw = _sincos(jnp.where(yaw < 0.0, yaw + np.float32(2.0 * np.pi), yaw))
+            if not clustered:
+                # Flat mode: the facing rotation's trig is per-primitive
+                # and precomputed in the shade table (fast_shade.F_CYW..).
+                cyw, syw = row(FS.F_CYW), row(FS.F_SYW)
+                cp_, sp_ = row(FS.F_CP), row(FS.F_SP)
+            else:
+                fx_, fy_, fz_ = row(FS.F_NX), row(FS.F_NY), row(FS.F_NZ)
+                pitch = _atan2(fz_, jnp.sqrt(fx_ * fx_ + fy_ * fy_ + 1e-20))
+                yaw = _atan2(fy_, fx_)
+                syw, cyw = _sincos(
+                    jnp.where(yaw < 0.0, yaw + np.float32(2.0 * np.pi), yaw)
+                )
+                sp_, cp_ = _sincos(
+                    jnp.where(pitch < 0.0, pitch + np.float32(2.0 * np.pi), pitch)
+                )
             qx = cyw * snx + syw * sny
             qy = -syw * snx + cyw * sny
-            sp_, cp_ = _sincos(
-                jnp.where(pitch < 0.0, pitch + np.float32(2.0 * np.pi), pitch)
-            )
             rx = cp_ * qx + sp_ * snz
             ry = qy
             rz = -sp_ * qx + cp_ * snz
