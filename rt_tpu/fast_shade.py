@@ -157,6 +157,48 @@ def build_shade_table(
     return table
 
 
+def build_shade_table_diff(scene) -> jnp.ndarray | None:
+    """Differentiable re-assembly of the PARAMETER rows of
+    ``scene.shade_table`` from the live scene arrays.
+
+    The host-built table (build_shade_table) bakes material/texture values
+    into numpy, severing them from reverse-mode AD.  This mirror keeps the
+    static rows (geometry, flags, precomputed trig) from the baked table
+    and overwrites the rows that depend on differentiable SceneParams
+    leaves (mat_fuzz, mat_ior, tex_color) with jnp gathers, so a
+    fetch_params one-hot matmul carries gradients back to the params —
+    the gradient path's replacement for textures.texture_value's ~10
+    separate XLA gathers per bounce.
+    """
+    if scene.shade_table is None:
+        return None
+    base = scene.shade_table
+    ns, nt = scene.num_spheres, scene.num_triangles
+    p = ns + nt
+    mids = jnp.concatenate(
+        [
+            jnp.asarray(scene.sph_material[:ns], jnp.int32),
+            jnp.asarray(scene.tri_material[:nt], jnp.int32),
+        ]
+    )
+    kinds = scene.mat_kind[mids]
+    tids = scene.mat_texture[mids]
+    tkind = scene.tex_kind[tids]
+    is_diel = kinds == MAT_DIELECTRIC
+    checker = (tkind == TEX_CHECKER) & ~is_diel
+    even = scene.tex_children[tids, 0]
+    odd = scene.tex_children[tids, 1]
+    solid_rgb = scene.tex_color[tids]
+    even_rgb = jnp.where(checker[:, None], scene.tex_color[even], solid_rgb)
+    even_rgb = jnp.where(is_diel[:, None], 1.0, even_rgb)
+    odd_rgb = jnp.where(checker[:, None], scene.tex_color[odd], 0.0)
+    table = base.at[F_FUZZ, :p].set(scene.mat_fuzz[mids])
+    table = table.at[F_IOR, :p].set(scene.mat_ior[mids])
+    table = table.at[F_CE : F_CE + 3, :p].set(even_rgb.T)
+    table = table.at[F_CO : F_CO + 3, :p].set(odd_rgb.T)
+    return table
+
+
 # ---------------------------------------------------------------------------
 # Device-side scalarized bounce.
 # ---------------------------------------------------------------------------

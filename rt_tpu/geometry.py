@@ -25,6 +25,7 @@ Divergences (documented):
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 from flax import struct
@@ -313,6 +314,9 @@ def nearest_hit(
         if pallas_ops.available():
             t, prim = _nearest_pallas(scene, org, dirn, t_min, t_max, compat)
             return hit_attributes(scene, org, dirn, t, prim, compat)
+    if impl == "detached" and scene.bvh is None:
+        t, prim = nearest_search_detached(scene, org, dirn, t_min, t_max, compat)
+        return hit_attributes(scene, org, dirn, t, prim, compat)
     if scene.bvh is not None:
         # The diff wrapper detaches the while_loop walk (no reverse rule)
         # and recomputes the winner's t differentiably, so "auto" stays
@@ -323,6 +327,31 @@ def nearest_hit(
     else:
         t, prim = nearest_hit_bruteforce(scene, org, dirn, t_min, t_max, compat)
     return hit_attributes(scene, org, dirn, t, prim, compat)
+
+
+def nearest_search_detached(
+    scene: SceneData, org, dirn, t_min, t_max, compat: CompatConfig
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Differentiable (t, prim) via the detached-decision estimator (the
+    same convention nearest_hit_bvh_diff uses): the winner SEARCH runs
+    fully stop_gradient'd — through the fused Pallas kernel on TPU — so
+    reverse-mode never materializes the O(N*P) candidate tensors, and only
+    the winner's t is recomputed differentiably.  Gradients match the
+    brute-force path a.e. (the argmin winner is locally constant)."""
+    from rt_tpu import pallas_ops
+    from rt_tpu.bvh.traverse import _prim_t
+
+    sg = jax.lax.stop_gradient
+    scene_sg = jax.tree.map(sg, scene)
+    if pallas_ops.available():
+        _, prim = _nearest_pallas(scene_sg, sg(org), sg(dirn), t_min, t_max, compat)
+    else:
+        _, prim = nearest_hit_bruteforce(
+            scene_sg, sg(org), sg(dirn), t_min, t_max, compat
+        )
+    t = _prim_t(scene, jnp.maximum(prim, 0), org, dirn, t_min, t_max, compat)
+    t = jnp.where(prim >= 0, t, BIG)
+    return t, prim
 
 
 def _nearest_pallas(scene: SceneData, org, dirn, t_min, t_max, compat: CompatConfig):

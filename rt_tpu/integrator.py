@@ -40,12 +40,14 @@ from rt_tpu.geometry import nearest_hit
 from rt_tpu.scene import SceneData
 
 
-def _bounce_step(scene: SceneData, cfg: RenderConfig, state, bounce_key, depth):
+def _bounce_step(
+    scene: SceneData, cfg: RenderConfig, state, bounce_key, depth, impl="auto"
+):
     """One wavefront bounce: intersect, accumulate sky on miss, scatter +
     Russian roulette on hit.  Pure function of (state, key, depth)."""
     org, dirn, throughput, radiance, alive = state
 
-    rec = nearest_hit(scene, org, dirn, cfg.t_min, cfg.t_max, cfg.compat)
+    rec = nearest_hit(scene, org, dirn, cfg.t_min, cfg.t_max, cfg.compat, impl=impl)
 
     # Miss -> sky (camera.rs:308-312).
     unit_dir = dirn / jnp.maximum(jnp.linalg.norm(dirn, axis=-1, keepdims=True), 1e-20)
@@ -100,6 +102,22 @@ def trace_radiance(
     recursion (camera.rs:296-313).  Forward-only (not differentiable);
     gradients use :func:`trace_radiance_diff`.
     """
+    if scene.bvh is None and scene.shade_table is not None:
+        # Fast-shade machinery (shared with trace_radiance_diff so the two
+        # integrators agree bit-for-bit at equal depth: same keys, same
+        # math), with the while_loop's early exit once every ray retires.
+        step, init = _fast_trace_setup(scene, origins, directions, key, cfg)
+
+        def cond(carry):
+            depth, state = carry
+            return (depth <= cfg.max_depth) & jnp.any(state[3])
+
+        def body(carry):
+            depth, state = carry
+            return depth + 1, step(state, depth, cfg.max_depth)
+
+        _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+        return state[2].T
     n = origins.shape[0]
     state = (
         origins,
@@ -139,6 +157,8 @@ def trace_radiance_diff(
     stop_gradient'd quantities while the continuous factors (attenuation,
     sky params, refraction directions) carry gradients.
     """
+    if scene.bvh is None and scene.shade_table is not None:
+        return _trace_radiance_diff_fast(scene, origins, directions, key, cfg)
     n = origins.shape[0]
     init = (
         origins,
@@ -152,7 +172,100 @@ def trace_radiance_diff(
     @jax.checkpoint
     def step(state, depth):
         bounce_key = jax.random.fold_in(key, depth)
-        return _bounce_step(scene, diff_cfg, state, bounce_key, depth), None
+        # "detached" routes the winner search through the fused Pallas
+        # kernel under stop_gradient (geometry.nearest_hit), so neither
+        # the forward scan nor its rematerialized backward ever builds
+        # the O(N*P) brute-force candidate tensors.
+        return (
+            _bounce_step(scene, diff_cfg, state, bounce_key, depth, impl="detached"),
+            None,
+        )
 
     state, _ = jax.lax.scan(step, init, jnp.arange(cfg.diff_max_depth + 1))
     return state[3]
+
+
+def _trace_radiance_diff_fast(
+    scene: SceneData,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    key: jax.Array,
+    cfg: RenderConfig,
+) -> jnp.ndarray:
+    """Differentiable radiance on the fast-shade machinery: detached
+    Pallas winner search (geometry.nearest_search_detached) + differentiable
+    winner-t recompute + ONE one-hot parameter-fetch matmul per bounce
+    over a differentiably re-assembled shade table
+    (fast_shade.build_shade_table_diff) — replacing the megabatch path's
+    ~10 XLA gathers per bounce, which dominated the backward-pass time.
+
+    Draw streams use the wavefront's hash RNG (rng.py) keyed from
+    ``key``, so this path is deterministic per (key, lane, depth) but not
+    bit-identical to the megabatch scatter's jax.random draws (the
+    integrators already differ by design, ROADMAP 'quirk decisions')."""
+    step, init = _fast_trace_setup(scene, origins, directions, key, cfg)
+
+    @jax.checkpoint
+    def scan_step(state, depth):
+        return step(state, depth, cfg.diff_max_depth), None
+
+    state, _ = jax.lax.scan(scan_step, init, jnp.arange(cfg.diff_max_depth + 1))
+    return state[2].T
+
+
+def _fast_trace_setup(scene, origins, directions, key, cfg):
+    """Shared bounce step + initial state for the fast-shade integrators:
+    detached winner search (Pallas on TPU) + differentiable winner-t
+    recompute + one one-hot parameter-fetch matmul per bounce over the
+    differentiably re-assembled shade table.  Both trace_radiance (early
+    -exit while_loop) and trace_radiance_diff (checkpointed scan) drive
+    this step, so the two integrators agree at equal depth."""
+    from rt_tpu import fast_shade
+    from rt_tpu.geometry import nearest_search_detached
+    from rt_tpu.wavefront import _seed_from_key
+
+    n = origins.shape[0]
+    table = fast_shade.build_shade_table_diff(scene)
+    seed = _seed_from_key(key)
+    work = jnp.arange(n, dtype=jnp.int32)
+    z = jnp.zeros((n,), jnp.float32)
+    rays0 = jnp.stack(
+        [
+            origins[:, 0], origins[:, 1], origins[:, 2],
+            directions[:, 0], directions[:, 1], directions[:, 2],
+            z, z,
+        ],
+        axis=0,
+    )
+    init = (
+        rays0,
+        jnp.ones((3, n), jnp.float32),  # throughput rows
+        jnp.zeros((3, n), jnp.float32),  # radiance rows
+        jnp.ones((n,), bool),
+    )
+
+    def step(state, depth, max_depth):
+        rays, tp, rad, alive = state
+        org = rays[0:3].T
+        dirn = rays[3:6].T
+        t, prim = nearest_search_detached(
+            scene, org, dirn, cfg.t_min, cfg.t_max, cfg.compat
+        )
+        out = fast_shade.shade_bounce(
+            scene, rays, t, prim, seed, work, depth, cfg, table=table
+        )
+        miss = alive & ~out["hit"]
+        emis = alive & out["hit"] & out["emissive"]
+        cont = (
+            alive & out["hit"] & out["survive"] & (depth < max_depth) & ~out["emissive"]
+        )
+        sky_rows = jnp.stack(out["sky"], axis=0)
+        emit_rows = jnp.stack(out["emit"], axis=0)
+        rad = rad + jnp.where(miss[None, :], tp * sky_rows, 0.0)
+        rad = rad + jnp.where(emis[None, :], tp * emit_rows, 0.0)
+        att_rows = jnp.stack(out["att"], axis=0)  # attenuation * 1/p_rr
+        tp = jnp.where(cont[None, :], tp * att_rows, tp)
+        rays = jnp.where(cont[None, :], out["new_rays"], rays)
+        return (rays, tp, rad, cont)
+
+    return step, init

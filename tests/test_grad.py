@@ -69,7 +69,11 @@ def _loss_fn(setup_vals):
         # measure-small reflect/refract threshold flips, hence the wider
         # tolerances and smaller IOR step.
         ("mat_fuzz", (1,), 1e-2, 0.15),  # metal fuzz
-        ("mat_ior", (2,), 1e-3, 0.20),  # dielectric refractive index
+        # IOR step 1e-4: under the fast-shade diff path's draw stream a
+        # reflect/refract Schlick flip straddles the 1e-3 window (FD then
+        # measures the jump, not the derivative); FD converges to AD by
+        # 1e-4 (checked at 1e-5 too).
+        ("mat_ior", (2,), 1e-4, 0.20),  # dielectric refractive index
         ("sky_sun_direction", (0,), 1e-2, 0.12),
     ],
 )
