@@ -389,7 +389,7 @@ def _mega_kernel(
     if has_images:
         ah_iota = jax.lax.broadcasted_iota(jnp.int32, (atlas_h, G), 0)
         aw_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (atlas_ref.shape[1], G), 0
+            jnp.int32, (atlas_ref.shape[1] // 3, G), 0
         )
 
     id_bits = max(int(np.ceil(np.log2(max(p_pad, 2)))), 1)
@@ -1546,14 +1546,17 @@ def _mega_kernel(
             u_ = jnp.where(is_sphere, s_u, t_u)
             v_ = jnp.where(is_sphere, s_v, t_v)
 
-            # Atlas texel fetch: row one-hot matmul selects columns, a
-            # column mask-reduce picks the lane's texel (texture.rs:107-117
-            # nearest + clamp semantics via the shade-table rect).
+            # Atlas texel fetch: ONE row one-hot matmul per state row
+            # selects all 3 channel planes' columns at once (the atlas is
+            # laid out [AH, 3*2AWp], channels side by side), then a column
+            # mask-reduce per channel picks the lane's texel
+            # (texture.rs:107-117 nearest + clamp semantics via the
+            # shade-table rect).
             w_img = jnp.maximum(row(FS.F_RECT + 2), 1.0)
             h_img = jnp.maximum(row(FS.F_RECT + 3), 1.0)
             ix = (jnp.clip(u_, 0.0, 1.0) * (w_img - 1.0)).astype(jnp.int32)
             iy = (jnp.clip(v_, 0.0, 1.0) * (h_img - 1.0)).astype(jnp.int32)
-            aw_pad = atlas_ref.shape[1] // 2  # cols are a hi|lo split
+            aw_pad = atlas_ref.shape[1] // 6  # per-channel cols: hi | lo
             ax2 = jnp.clip(row(FS.F_RECT + 0).astype(jnp.int32) + ix, 0, aw_pad - 1)
             ay2 = jnp.clip(row(FS.F_RECT + 1).astype(jnp.int32) + iy, 0, atlas_h - 1)
             ddr = (((0,), (0,)), ((), ()))
@@ -1568,12 +1571,12 @@ def _mega_kernel(
                     (aw_iota == ax2[s : s + 1, :])
                     | (aw_iota == ax2[s : s + 1, :] + aw_pad)
                 ).astype(f32)
+                sel = jax.lax.dot_general(
+                    atlas_ref[:, :], rowsel, ddr, preferred_element_type=f32
+                )  # [3*2AWp, G] (atlas rows = AH, contracted)
                 for ch in range(3):
-                    plane = atlas_ref[ch * atlas_h : (ch + 1) * atlas_h, :]
-                    sel = jax.lax.dot_general(
-                        plane, rowsel, ddr, preferred_element_type=f32
-                    )  # [2*AWp, G]
-                    texels[ch].append(jnp.sum(colmask * sel, axis=0, keepdims=True))
+                    part = sel[ch * 2 * aw_pad : (ch + 1) * 2 * aw_pad, :]
+                    texels[ch].append(jnp.sum(colmask * part, axis=0, keepdims=True))
             tr = jnp.where(is_image, vstack(texels[0]), tr)
             tg = jnp.where(is_image, vstack(texels[1]), tg)
             tb = jnp.where(is_image, vstack(texels[2]), tb)
@@ -1853,18 +1856,23 @@ def _mega_prep(shade_table_raw, atlas, camera, sky, *, has_images, sky_model):
         hw = hw.at[:, 9].set(hw[:, 9] * sky.exposure)  # premultiply exposure
         pf = pf.at[0, _P_HW : _P_HW + 30].set(hw.reshape(-1))
 
-    # Channel-planar atlas [3*AH, 2*AW_pad] (hi | lo bf16 split along the
-    # column axis) for the in-kernel one-hot fetch at DEFAULT precision.
+    # Channel-side-by-side atlas [AH, 3 * 2*AW_pad] (per channel: hi | lo
+    # bf16 split along the column axis) so the in-kernel fetch needs ONE
+    # row-select matmul per state row for all 3 channels, at DEFAULT
+    # precision.
     if has_images:
         ah, aw = atlas.shape[0], atlas.shape[1]
         aw_pad = max(-(-aw // 128) * 128, 128)
-        flat_planes = jnp.transpose(atlas, (2, 0, 1)).reshape(3 * ah, aw)
-        p_hi, p_lo = _hilo_rows(flat_planes)
-        atlas_planar = jnp.zeros((3 * ah, 2 * aw_pad), jnp.float32)
-        atlas_planar = atlas_planar.at[:, :aw].set(p_hi)
-        atlas_planar = atlas_planar.at[:, aw_pad : aw_pad + aw].set(p_lo)
+        hi, lo = _hilo_rows(atlas)  # [AH, AW, 3] each
+        atlas_planar = jnp.zeros((ah, 6 * aw_pad), jnp.float32)
+        for ch in range(3):
+            base = ch * 2 * aw_pad
+            atlas_planar = atlas_planar.at[:, base : base + aw].set(hi[:, :, ch])
+            atlas_planar = atlas_planar.at[
+                :, base + aw_pad : base + aw_pad + aw
+            ].set(lo[:, :, ch])
     else:
-        atlas_planar = jnp.zeros((3, 256), jnp.float32)
+        atlas_planar = jnp.zeros((8, 6 * 128), jnp.float32)
 
     # Shade table rows stacked hi | lo for the single DEFAULT-precision
     # parameter-fetch matmul (see _mega_kernel).
@@ -2023,7 +2031,7 @@ def _mega_exec(
 
     nq = tile_pixels // 256
     nqp = max(-(-nq // 8) * 8, 8)  # padded per-channel rows (see _mega_kernel)
-    atlas_h = atlas_planar.shape[0] // 3
+    atlas_h = atlas_planar.shape[0]
     kernel = functools.partial(
         _mega_kernel,
         lanes=lanes,
@@ -2272,7 +2280,7 @@ def _mega_exec_clustered(
 
     nq = tile_pixels // 256
     nqp = max(-(-nq // 8) * 8, 8)
-    atlas_h = atlas_planar.shape[0] // 3
+    atlas_h = atlas_planar.shape[0]
     kernel_kw = {
         k: v
         for k, v in statics.items()
