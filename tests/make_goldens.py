@@ -101,6 +101,59 @@ def golden_cases():
         camera4,
         RenderConfig(width=96, height=54, samples_per_pixel=4, max_depth=8),
     )
+
+    # --- round-3 additions: pin every production render path ----------
+
+    # BVH mesh path (stackless traversal; ~4.6k-tri deterministic
+    # procedural mesh through the real OBJ loader).
+    import tempfile
+
+    from tools.gen_fixtures import make_obj_mesh
+
+    obj_path = os.path.join(tempfile.gettempdir(), "golden_mesh_r48.obj")
+    if not os.path.exists(obj_path):
+        make_obj_mesh(obj_path, res=48, seed=0)
+    camera6 = make_camera(
+        (5.5, -5.5, 2.2),
+        (0.0, 0.0, 1.0),
+        (0.0, 0.0, 1.0),
+        focus_distance=8.0,
+        defocus_angle=0.0,
+        image_width=96,
+        image_height=54,
+        vertical_fov=32.0,
+    )
+    cases["mesh_bvh"] = (
+        scenes.mesh_scene({"plaster": obj_path}),
+        camera6,
+        RenderConfig(width=96, height=54, samples_per_pixel=2, max_depth=6),
+    )
+
+    # Emissive area light (MAT_EMISSIVE extension; config-3 shape).
+    cases["emissive_mesh"] = (
+        scenes.mesh_with_area_light(obj_path),
+        camera6,
+        RenderConfig(width=96, height=54, samples_per_pixel=2, max_depth=6),
+    )
+
+    # Clustered-scale scene (>2048 prims: the TPU render routes this
+    # through the clustered megakernel, whose wavefront parity is pinned
+    # by tests/test_megakernel_cluster.py; the golden pins the image).
+    camera7 = scenes.cam1(64, 36)
+    cases["cover_clustered"] = (
+        scenes.cover_scene(30, 30, camera7, z=-0.2, seed=0),
+        camera7,
+        RenderConfig(width=64, height=36, samples_per_pixel=2, max_depth=8),
+    )
+
+    # Hosek-Wilkie sky as a full frame (reference-parity configuration).
+    from rt_tpu.sky import SkyParams
+
+    cases["hosek_sky"] = (
+        scenes.gen_checkered().replace(sky=SkyParams.hosek_reference()),
+        camera2,
+        RenderConfig(width=96, height=54, samples_per_pixel=4, max_depth=8),
+    )
     return cases
 
 

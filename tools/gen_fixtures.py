@@ -65,6 +65,29 @@ def make_obj_mesh(path: str, res: int = 224, seed: int = 0) -> int:
     return len(faces)
 
 
+def make_obj_heightfield(path: str, nx: int = 224, ny: int = 224) -> int:
+    """~100k-triangle height-field OBJ (the round-2 perf-table fixture's
+    shape: open 2.5-D terrain, bounces escape to the sky quickly — an
+    easier locality profile than the closed skull-class blob)."""
+    xs = np.linspace(-5, 5, nx + 1)
+    ys = np.linspace(-5, 5, ny + 1)
+    with open(path, "w") as f:
+        for y in ys:
+            for x in xs:
+                z = 0.2 * np.sin(x) * np.cos(y)
+                f.write(f"v {x:.4f} {y:.4f} {z:.4f}\n")
+        w = nx + 1
+        for j in range(ny):
+            for i in range(nx):
+                a = j * w + i + 1
+                b = a + 1
+                c = a + w + 1
+                d = a + w
+                f.write(f"f {a} {b} {c}\n")
+                f.write(f"f {a} {c} {d}\n")
+    return 2 * nx * ny
+
+
 def _checker_png_b64(size: int, c0, c1, seed: int = 0) -> str:
     from PIL import Image
     import io as _io
@@ -207,13 +230,16 @@ def ensure_fixtures(directory: str) -> dict:
     obj = os.path.join(directory, "skull_class.obj")
     glb = os.path.join(directory, "armor_class.glb")
     car = os.path.join(directory, "car_class.glb")
+    hf = os.path.join(directory, "heightfield.obj")
     if not os.path.exists(obj):
         make_obj_mesh(obj)
     if not os.path.exists(glb):
         make_glb_armor(glb)
     if not os.path.exists(car):
         make_glb_armor(car, res=128, n_parts=5, seed=7)
-    return {"obj": obj, "glb": glb, "car": car}
+    if not os.path.exists(hf):
+        make_obj_heightfield(hf)
+    return {"obj": obj, "glb": glb, "car": car, "heightfield": hf}
 
 
 if __name__ == "__main__":
