@@ -327,6 +327,7 @@ def _mega_kernel(
     inline_shade=False,
     n_tris=0,
     spp_major=False,
+    row_groups=1,
 ):
     if clustered:
         (
@@ -335,7 +336,7 @@ def _mega_kernel(
             shade_hbm_ref, chk_ref, atlas_ref,
             out_ref, iters_ref,
             sf, si, acc,
-            feat_scr, wl_vmem, wl_smem, sup_vmem, sup_smem,
+            feat_scr, rays_scr, wl_vmem, wl_smem, sup_vmem, sup_smem,
             slice_vmem, dma_sem, fetch_sems,
         ) = refs
         table_ref = None
@@ -774,11 +775,14 @@ def _mega_kernel(
                 dma_to(sup_vmem, sup_smem)
                 return jnp.sum(mask)
 
-            def build_segments(n_ent, member_mask64):
-                """Per entered super j: compact its 64-cluster entered mask
-                into worklist row j = [global ids (64) | count | -1 pad],
-                then DMA all rows to SMEM.  ``member_mask64(sid)`` returns
-                the i32 [64, 1] membership mask for super ``sid``."""
+            NG = row_groups  # static lane-row groups per worklist entry
+            RPG = SUB // NG  # state rows per group
+
+            def build_segments_pool(n_ent, member_mask64):
+                """Pool-level segment builder (one worklist row per entered
+                super, no lane-row groups): used by the winner fetch, whose
+                membership is winner identity, not slab entry.  Row layout
+                [64 ids | count@64 | group=0@65 | -1 pad]."""
 
                 def seg_body(c):
                     j, tot = c
@@ -797,6 +801,7 @@ def _mega_kernel(
                             jnp.broadcast_to(cnt, (1, 128)),
                             segp,
                         )
+                        rowv = jnp.where(lane128 == 65, 0, rowv)
                         wl_vmem[pl.ds(jc, 1), :] = rowv
                         valid = (j < n_ent).astype(f32)
                         tot = tot + cnt.astype(f32) * valid
@@ -809,19 +814,75 @@ def _mega_kernel(
                     (jnp.int32(0), jnp.zeros((1, 1), f32)),
                 )
                 dma_to(wl_vmem, wl_smem)
-                return total  # [1,1] entered-cluster count (debug/stats)
+                return total
 
-            def entered_member_mask(cl_ref):
+            def build_segments(n_ent, cl_ref):
+                """Per entered super j and lane-row GROUP g: compact the
+                group's 64-cluster entered mask into the next worklist row
+                [global ids (64) | count@64 | group@65 | -1 pad] (rows with
+                zero entered clusters are skipped), then DMA to SMEM.
+                Returns (n_rows, total entered clusters [1,1]).
+
+                Row groups are the SIMD granularity fix for mixed pools:
+                the sweep then intersects each cluster against only the
+                RPG state rows of the group that entered it, cutting the
+                per-visit math by the measured U_pool*SUB / sum_g U_group
+                ratio (2.8x on the 360k cover at NG=SUB)."""
                 n_sup_tab = cl_ref.shape[0] // SUPER_SLOTS
 
-                def fn(sid):
-                    # Clamp: unrolled segment steps pass clamped/garbage
-                    # ids for masked tail visits.
-                    sidc = jnp.minimum(sid, n_sup_tab - 1)
-                    base = pl.multiple_of(sidc * SUPER_SLOTS, SUPER_SLOTS)
-                    return pool_enter_mask(cl_ref[pl.ds(base, SUPER_SLOTS), :])
+                def seg_body(c):
+                    j, p, tot = c
+                    for _u in range(_SEG_UNROLL):
+                        jc = jnp.minimum(j, 127)
+                        sid = jnp.maximum(sup_smem[0, jc], 0)
+                        sidc = jnp.minimum(sid, n_sup_tab - 1)
+                        base = pl.multiple_of(sidc * SUPER_SLOTS, SUPER_SLOTS)
+                        boxes = cl_ref[pl.ds(base, SUPER_SLOTS), :]
+                        valid = j < n_ent
+                        for g in range(NG):
+                            if "nocull" in ablate:
+                                m64 = (boxes[:, 0:1] <= boxes[:, 3:4]).astype(
+                                    jnp.int32
+                                )
+                            else:
+                                m64 = jnp.zeros((SUPER_SLOTS, 1), jnp.int32)
+                                for s in range(g * RPG, (g + 1) * RPG):
+                                    m64 = jnp.maximum(
+                                        m64,
+                                        jnp.max(
+                                            slab_enter(boxes, s).astype(jnp.int32),
+                                            axis=1,
+                                            keepdims=True,
+                                        ),
+                                    )
+                            seg = compact_col(m64)  # [1, 64] local ids
+                            seg = jnp.where(seg >= 0, seg + sid * SUPER_SLOTS, -1)
+                            cnt = jnp.sum(m64, axis=0, keepdims=True)  # [1,1]
+                            segp = jnp.concatenate(
+                                [seg, jnp.full((1, 64), -1, jnp.int32)], axis=1
+                            )
+                            rowv = jnp.where(
+                                lane128 == 64,
+                                jnp.broadcast_to(cnt, (1, 128)),
+                                segp,
+                            )
+                            rowv = jnp.where(lane128 == 65, g, rowv)
+                            keep = valid & (cnt[0, 0] > 0)
+                            pc = jnp.minimum(p, _WL_ROWS - 1)
+                            old = wl_vmem[pl.ds(pc, 1), :]
+                            wl_vmem[pl.ds(pc, 1), :] = jnp.where(keep, rowv, old)
+                            p = p + jnp.where(keep, 1, 0)
+                            tot = tot + cnt.astype(f32) * jnp.where(valid, 1.0, 0.0)
+                        j = j + 1
+                    return (j, p, tot)
 
-                return fn
+                _, n_rows, total = jax.lax.while_loop(
+                    lambda c: c[0] < n_ent,
+                    seg_body,
+                    (jnp.int32(0), jnp.int32(0), jnp.zeros((1, 1), f32)),
+                )
+                dma_to(wl_vmem, wl_smem)
+                return n_rows, total
 
             # Phase C runs in the FLAT kernel's proven orientation — prim
             # fields as [128, 1] columns broadcasting against [1, G] ray
@@ -835,17 +896,16 @@ def _mega_kernel(
                 jnp.int32, (CLUSTER_SLOTS, G), 0
             )
 
-            def sph_chunk_key(sl_t, s):
+            def sph_chunk_key(sl_t, rowv):
                 """Packed (t | 7-bit local slot) min over a 128-slot sphere
-                chunk sl_t [128, nrows] vs state row s -> i32 [1, G].  The
-                2^-16 relative t truncation is far below the scale-aware
-                ray offset (same scheme as the flat path's packed_select)."""
+                chunk sl_t [128, nrows] vs ONE state row's rays -> i32
+                [1, G].  The 2^-16 relative t truncation is far below the
+                scale-aware ray offset (same scheme as the flat path's
+                packed_select)."""
                 cx, cy, cz, rad = (
                     sl_t[:, 0:1], sl_t[:, 1:2], sl_t[:, 2:3], sl_t[:, 3:4]
                 )
-                oxs, oys, ozs = ox[s : s + 1, :], oy[s : s + 1, :], oz[s : s + 1, :]
-                dxs, dys, dzs = dx[s : s + 1, :], dy[s : s + 1, :], dz[s : s + 1, :]
-                a_s, inv_a_s = a[s : s + 1, :], inv_a[s : s + 1, :]
+                oxs, oys, ozs, dxs, dys, dzs, a_s, inv_a_s = rowv
                 ocx = cx - oxs  # [128, G]
                 ocy = cy - oys
                 ocz = cz - ozs
@@ -863,15 +923,14 @@ def _mega_kernel(
                 key = (pltpu.bitcast(t_cand, jnp.int32) & ~127) | slot_iota_col
                 return jnp.min(key, axis=0, keepdims=True)
 
-            def tri_chunk_key(sl_t, s):
+            def tri_chunk_key(sl_t, rowv):
                 """Packed Moller-Trumbore min over a 128-slot triangle chunk
-                sl_t [128, nrows] vs state row s -> i32 [1, G]."""
+                sl_t [128, nrows] vs ONE state row's rays -> i32 [1, G]."""
                 ax_, ay_, az_ = sl_t[:, 0:1], sl_t[:, 1:2], sl_t[:, 2:3]
                 e1x, e1y, e1z = sl_t[:, 3:4], sl_t[:, 4:5], sl_t[:, 5:6]
                 e2x, e2y, e2z = sl_t[:, 6:7], sl_t[:, 7:8], sl_t[:, 8:9]
                 live_t = sl_t[:, 9:10]
-                oxs, oys, ozs = ox[s : s + 1, :], oy[s : s + 1, :], oz[s : s + 1, :]
-                dxs, dys, dzs = dx[s : s + 1, :], dy[s : s + 1, :], dz[s : s + 1, :]
+                oxs, oys, ozs, dxs, dys, dzs, _, _ = rowv
                 uvx = dys * e2z - dzs * e2y
                 uvy = dzs * e2x - dxs * e2z
                 uvz = dxs * e2y - dys * e2x
@@ -905,51 +964,58 @@ def _mega_kernel(
                 key = (pltpu.bitcast(t_cand, jnp.int32) & ~127) | slot_iota_col
                 return jnp.min(key, axis=0, keepdims=True)
 
-            def sweep_entered(n_ent, slots_ref, chunk_key, shade_base, bt_t, bi_t):
-                """Flattened (super j, seg entry k) while loop over the
-                entered clusters, _SWEEP_UNROLL chunk visits per step: a
-                while-loop iteration in this kernel carries ~15 us of
-                boundary overhead (the bounce body's large live set), so
-                per-entry steps dominated the whole intersect; unrolled
-                visits amortize it.  Tail visits past the worklist end are
-                validity-masked (their chunk math runs on clamped ids)."""
+            sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, G), 0)
+
+            def sweep_entered(n_rows, slots_ref, chunk_key, shade_base, bt_t, bi_t):
+                """Flattened (worklist row e, seg entry k) while loop over
+                the entered clusters, _SWEEP_UNROLL chunk visits per step
+                (while-loop iterations in this kernel carry real boundary
+                overhead; unrolled visits amortize it).  Each worklist row
+                is (cluster segment, lane-row GROUP): the chunk math runs
+                against only that group's RPG state rows, read from the
+                rays_scr staging buffer at a dynamic row offset.  Tail
+                visits past the worklist end are validity-masked."""
 
                 n_cl_tab = slots_ref.shape[1] // CLUSTER_SLOTS
 
                 def ccond(c):
-                    return c[0] < n_ent
+                    return c[0] < n_rows
 
                 def cbody(c):
-                    j, k, bt_c, bi_c = c
+                    e, k, bt_c, bi_c = c
                     for _u in range(_SWEEP_UNROLL):
-                        jc = jnp.minimum(j, _WL_ROWS - 1)
-                        cnt = wl_smem[jc, 64]
-                        valid = (j < n_ent) & (k < cnt)
+                        ec = jnp.minimum(e, _WL_ROWS - 1)
+                        cnt = wl_smem[ec, 64]
+                        grp = jnp.clip(wl_smem[ec, 65], 0, NG - 1)
+                        row0 = grp * RPG
+                        valid = (e < n_rows) & (k < cnt)
                         ci = jnp.clip(
-                            wl_smem[jc, jnp.minimum(k, 63)], 0, n_cl_tab - 1
+                            wl_smem[ec, jnp.minimum(k, 63)], 0, n_cl_tab - 1
                         )
                         base = pl.multiple_of(ci * CLUSTER_SLOTS, CLUSTER_SLOTS)
                         sl_t = slots_ref[:, pl.ds(base, CLUSTER_SLOTS)].T
-                        new_bt, new_bi = [], []
-                        for s in range(SUB):
-                            key = chunk_key(sl_t, s)  # [1, G]
+                        rows = [
+                            rays_scr[pl.ds(f * SUB + row0, RPG), :]
+                            for f in range(8)
+                        ]  # ox oy oz dx dy dz a inv_a, each [RPG, G]
+                        for r in range(RPG):
+                            rowv = tuple(x[r : r + 1, :] for x in rows)
+                            key = chunk_key(sl_t, rowv)  # [1, G]
                             ct = pltpu.bitcast(key & ~127, f32)
-                            btr = bt_c[s : s + 1, :]
-                            bir = bi_c[s : s + 1, :]
-                            better = valid & (ct < btr)
-                            new_bt.append(jnp.where(better, ct, btr))
-                            new_bi.append(
-                                jnp.where(
-                                    better, shade_base + base + (key & 127), bir
-                                )
+                            is_row = sub_iota == row0 + r
+                            ctb = jnp.broadcast_to(ct, (SUB, G))
+                            better = is_row & valid & (ctb < bt_c)
+                            bt_c = jnp.where(better, ctb, bt_c)
+                            bi_c = jnp.where(
+                                better,
+                                shade_base + base + (key & 127),
+                                bi_c,
                             )
-                        bt_c = vstack(new_bt)
-                        bi_c = vstack(new_bi)
                         k2 = k + 1
                         roll = k2 >= cnt
-                        j = jnp.where(roll, j + 1, j)
+                        e = jnp.where(roll, e + 1, e)
                         k = jnp.where(roll, 0, k2)
-                    return (j, k, bt_c, bi_c)
+                    return (e, k, bt_c, bi_c)
 
                 _, _, bt_t, bi_t = jax.lax.while_loop(
                     ccond, cbody, (jnp.int32(0), jnp.int32(0), bt_t, bi_t)
@@ -959,27 +1025,50 @@ def _mega_kernel(
             def cluster_nearest():
                 bt_t = jnp.full((SUB, G), BIG_TRUNC, f32)
                 bi_t = jnp.zeros((SUB, G), jnp.int32)
+                # Stage the (possibly just-claimed) ray rows so the sweep
+                # can read any lane-row group at a dynamic offset.
+                for f_i, val in enumerate((ox, oy, oz, dx, dy, dz, a, inv_a)):
+                    rays_scr[f_i * SUB : (f_i + 1) * SUB, :] = val
                 # n_sph_chunks / n_tri_chunks double as set-present flags in
                 # clustered mode (host sets them to 1 when the set is live).
                 if n_sph_chunks:
                     mask = pool_enter_mask(ssup_ref[:, :])
                     n_ent = stage_super_list(mask)
-                    cl_mask_total = build_segments(
-                        n_ent, entered_member_mask(scl_ref)
-                    )
+                    n_rows, cl_mask_total = build_segments(n_ent, scl_ref)
                     if "countent" in ablate:  # debug: entered supers /
                         # clusters per frame via the image accumulator
                         acc[0:1, 2:3] += n_ent.astype(f32)
                         acc[0:1, 3:4] += cl_mask_total
                     bt_t, bi_t = sweep_entered(
-                        n_ent, sslots_ref, sph_chunk_key, 0, bt_t, bi_t
+                        n_rows, sslots_ref, sph_chunk_key, 0, bt_t, bi_t
                     )
                 if n_tri_chunks:
                     n_ent = stage_super_list(pool_enter_mask(tsup_ref[:, :]))
-                    build_segments(n_ent, entered_member_mask(tcl_ref))
+                    n_rows, _ = build_segments(n_ent, tcl_ref)
                     bt_t, bi_t = sweep_entered(
-                        n_ent, tslots_ref, tri_chunk_key, n_sph_slots, bt_t, bi_t
+                        n_rows, tslots_ref, tri_chunk_key, n_sph_slots, bt_t, bi_t
                     )
+                if "countrow" in ablate:
+                    # Design probe: per-row vs pool entered-CLUSTER unions
+                    # (brute slab over the full cluster tables; debug only).
+                    for cl_ref_dbg, flag in (
+                        (scl_ref, n_sph_chunks),
+                        (tcl_ref, n_tri_chunks),
+                    ):
+                        if not flag:
+                            continue
+                        pool_m = jnp.zeros((cl_ref_dbg.shape[0], 1), jnp.int32)
+                        row_tot = jnp.zeros((), f32)
+                        for s in range(SUB):
+                            ms = jnp.max(
+                                slab_enter(cl_ref_dbg[:, :], s).astype(jnp.int32),
+                                axis=1,
+                                keepdims=True,
+                            )
+                            row_tot = row_tot + jnp.sum(ms).astype(f32)
+                            pool_m = jnp.maximum(pool_m, ms)
+                        acc[0:1, 4:5] += jnp.sum(pool_m).astype(f32)  # U_pool
+                        acc[0:1, 5:6] += row_tot  # sum_s U_row
                 return bt_t < BIG_TRUNC, bt_t, bi_t
 
             def winner_fetch(hit_m, bi_m):
@@ -1021,7 +1110,7 @@ def _mega_kernel(
 
                 if "fetchnoseg" in ablate:
                     return
-                build_segments(n_went, winner_members)
+                build_segments_pool(n_went, winner_members)
 
                 feat_scr[:, :] = jnp.zeros(feat_scr.shape, f32)
                 # Winner (cluster, local-slot) ids as f32 vectors, computed
@@ -2240,7 +2329,7 @@ _CL_STATICS = (
     "inline_shade",
 )
 
-_WL_ROWS = 128  # worklist segment rows (= max entered supers per set)
+_WL_ROWS = 256  # worklist rows (>= row_groups * supers per set, statically)
 _FETCH_RING = 32  # winner shade blocks DMA'd per fetch chunk
 _SWEEP_UNROLL = 4  # phase-C chunk visits per while step
 _SEG_UNROLL = 2  # segment builds per while step
@@ -2286,6 +2375,20 @@ def _mega_exec_clustered(
         for k, v in statics.items()
         if k not in ("n_tiles", "n_pixels", "interpret")
     }
+    # Lane-row group count for the worklists: the sweep intersects each
+    # entered cluster against only the group's rows, so finer groups cut
+    # per-visit math — bounded by the worklist capacity (every group can
+    # enter every super in the worst case, and dropping segments would be
+    # wrong, so NG * n_supers <= _WL_ROWS must hold STATICALLY).
+    ns_sph = scl.shape[0] // SUPER_SLOTS if statics["n_sph_chunks"] else 0
+    ns_tri = tcl.shape[0] // SUPER_SLOTS if statics["n_tri_chunks"] else 0
+    ns_max = max(ns_sph, ns_tri, 1)
+    row_groups = 1
+    while (
+        row_groups * 2 <= sub
+        and row_groups * 2 * ns_max <= _WL_ROWS
+    ):
+        row_groups *= 2
     kernel = functools.partial(
         _mega_kernel,
         p_pad=shade_cols.shape[1],
@@ -2293,6 +2396,7 @@ def _mega_exec_clustered(
         atlas_h=atlas_h,
         clustered=True,
         f_rows=f_rows,
+        row_groups=row_groups,
         # Sample-major claims shrink the refill footprint ~spp-fold; the
         # win beats the reordering cost from ~8 spp up (40k scene @16spp
         # 5.5 -> 6.1 Mray/s; the 160k @4spp measured 3.8 -> 3.1).
@@ -2336,6 +2440,7 @@ def _mega_exec_clustered(
             pltpu.VMEM((8 * sub, g), jnp.int32),
             pltpu.VMEM((3 * nqp, 256), jnp.float32),
             pltpu.VMEM((sub * f_rows, g), jnp.float32),  # feat_scr
+            pltpu.VMEM((8 * sub, g), jnp.float32),  # rays_scr
             pltpu.VMEM((_WL_ROWS, 128), jnp.int32),  # wl_vmem
             pltpu.SMEM((_WL_ROWS, 128), jnp.int32),  # wl_smem
             pltpu.VMEM((1, 128), jnp.int32),  # sup_vmem
