@@ -328,6 +328,7 @@ def _mega_kernel(
     n_tris=0,
     spp_major=False,
     row_groups=1,
+    stream_slots=False,
 ):
     if clustered:
         (
@@ -337,7 +338,7 @@ def _mega_kernel(
             out_ref, iters_ref,
             sf, si, acc,
             feat_scr, rays_scr, wl_vmem, wl_smem, sup_vmem, sup_smem,
-            slice_vmem, dma_sem, fetch_sems,
+            slice_vmem, dma_sem, fetch_sems, stream_vmem, stream_sems,
         ) = refs
         table_ref = None
     else:
@@ -1022,6 +1023,115 @@ def _mega_kernel(
                 )
                 return bt_t, bi_t
 
+            def sweep_entered_streamed(
+                n_rows, slots_hbm, nrows_set, chunk_key, shade_base, bt_t, bi_t
+            ):
+                """Streamed variant of sweep_entered for slot tables past
+                the VMEM budget: worklist entries are processed in chunks
+                of _STREAM_RING visits through three sem/vector-segregated
+                loops (the fetch_chunk lesson: mixing DMA sem ops with
+                vector work in one while body serializes ~43 us/step) —
+                (1) start the chunk's cluster-block DMAs from HBM, (2)
+                wait them, (3) run the chunk math from the VMEM ring."""
+                n_cl_tab = slots_hbm.shape[1] // CLUSTER_SLOTS
+
+                def advance2(e, k):
+                    cnt = wl_smem[jnp.minimum(e, _WL_ROWS - 1), 64]
+                    k2 = k + 1
+                    roll = k2 >= cnt
+                    return jnp.where(roll, e + 1, e), jnp.where(roll, 0, k2)
+
+                def entry_ci(e, k):
+                    ec = jnp.minimum(e, _WL_ROWS - 1)
+                    return jnp.clip(
+                        wl_smem[ec, jnp.minimum(k, 63)], 0, n_cl_tab - 1
+                    )
+
+                def slot_dma(e, k, i):
+                    ci = entry_ci(e, k)
+                    return pltpu.make_async_copy(
+                        slots_hbm.at[
+                            :, pl.ds(ci * CLUSTER_SLOTS, CLUSTER_SLOTS)
+                        ],
+                        stream_vmem.at[
+                            0:nrows_set,
+                            pl.ds(i * CLUSTER_SLOTS, CLUSTER_SLOTS),
+                        ],
+                        stream_sems.at[i],
+                    )
+
+                def chunk(c):
+                    e0, k0, bt_c, bi_c = c
+
+                    def s_body(c2):
+                        i, e, k = c2
+                        slot_dma(e, k, i).start()
+                        e2, k2 = advance2(e, k)
+                        return (i + 1, e2, k2)
+
+                    n_started, _, _ = jax.lax.while_loop(
+                        lambda c2: (c2[0] < _STREAM_RING) & (c2[1] < n_rows),
+                        s_body,
+                        (jnp.int32(0), e0, k0),
+                    )
+
+                    def w_body(c2):
+                        i, e, k = c2
+                        slot_dma(e, k, i).wait()
+                        e2, k2 = advance2(e, k)
+                        return (i + 1, e2, k2)
+
+                    jax.lax.while_loop(
+                        lambda c2: c2[0] < n_started,
+                        w_body,
+                        (jnp.int32(0), e0, k0),
+                    )
+
+                    def v_body(c3):
+                        i, e, k, bt_v, bi_v = c3
+                        ec = jnp.minimum(e, _WL_ROWS - 1)
+                        grp = jnp.clip(wl_smem[ec, 65], 0, NG - 1)
+                        row0 = grp * RPG
+                        ci = entry_ci(e, k)
+                        base = pl.multiple_of(ci * CLUSTER_SLOTS, CLUSTER_SLOTS)
+                        sl_t = stream_vmem[
+                            0:nrows_set,
+                            pl.ds(i * CLUSTER_SLOTS, CLUSTER_SLOTS),
+                        ].T
+                        rows = [
+                            rays_scr[pl.ds(f * SUB + row0, RPG), :]
+                            for f in range(8)
+                        ]
+                        for r in range(RPG):
+                            rowv = tuple(x[r : r + 1, :] for x in rows)
+                            key = chunk_key(sl_t, rowv)  # [1, G]
+                            ct = pltpu.bitcast(key & ~127, f32)
+                            is_row = sub_iota == row0 + r
+                            ctb = jnp.broadcast_to(ct, (SUB, G))
+                            better = is_row & (ctb < bt_v)
+                            bt_v = jnp.where(better, ctb, bt_v)
+                            bi_v = jnp.where(
+                                better,
+                                shade_base + base + (key & 127),
+                                bi_v,
+                            )
+                        e2, k2 = advance2(e, k)
+                        return (i + 1, e2, k2, bt_v, bi_v)
+
+                    _, e1, k1, bt_c, bi_c = jax.lax.while_loop(
+                        lambda c3: c3[0] < n_started,
+                        v_body,
+                        (jnp.int32(0), e0, k0, bt_c, bi_c),
+                    )
+                    return (e1, k1, bt_c, bi_c)
+
+                e0, k0, bt_t, bi_t = jax.lax.while_loop(
+                    lambda c: c[0] < n_rows,
+                    chunk,
+                    (jnp.int32(0), jnp.int32(0), bt_t, bi_t),
+                )
+                return bt_t, bi_t
+
             def cluster_nearest():
                 bt_t = jnp.full((SUB, G), BIG_TRUNC, f32)
                 bi_t = jnp.zeros((SUB, G), jnp.int32)
@@ -1039,15 +1149,28 @@ def _mega_kernel(
                         # clusters per frame via the image accumulator
                         acc[0:1, 2:3] += n_ent.astype(f32)
                         acc[0:1, 3:4] += cl_mask_total
-                    bt_t, bi_t = sweep_entered(
-                        n_rows, sslots_ref, sph_chunk_key, 0, bt_t, bi_t
-                    )
+                    if stream_slots:
+                        bt_t, bi_t = sweep_entered_streamed(
+                            n_rows, sslots_ref, sslots_ref.shape[0],
+                            sph_chunk_key, 0, bt_t, bi_t,
+                        )
+                    else:
+                        bt_t, bi_t = sweep_entered(
+                            n_rows, sslots_ref, sph_chunk_key, 0, bt_t, bi_t
+                        )
                 if n_tri_chunks:
                     n_ent = stage_super_list(pool_enter_mask(tsup_ref[:, :]))
                     n_rows, _ = build_segments(n_ent, tcl_ref)
-                    bt_t, bi_t = sweep_entered(
-                        n_rows, tslots_ref, tri_chunk_key, n_sph_slots, bt_t, bi_t
-                    )
+                    if stream_slots:
+                        bt_t, bi_t = sweep_entered_streamed(
+                            n_rows, tslots_ref, tslots_ref.shape[0],
+                            tri_chunk_key, n_sph_slots, bt_t, bi_t,
+                        )
+                    else:
+                        bt_t, bi_t = sweep_entered(
+                            n_rows, tslots_ref, tri_chunk_key, n_sph_slots,
+                            bt_t, bi_t,
+                        )
                 if "countrow" in ablate:
                     # Design probe: per-row vs pool entered-CLUSTER unions
                     # (brute slab over the full cluster tables; debug only).
@@ -2327,10 +2450,13 @@ _CL_STATICS = (
     "ablate",
     "f_rows",
     "inline_shade",
+    "stream_slots",
 )
 
 _WL_ROWS = 256  # worklist rows (>= row_groups * supers per set, statically)
 _FETCH_RING = 32  # winner shade blocks DMA'd per fetch chunk
+_STREAM_RING = 16  # slot blocks in flight per streamed-sweep chunk
+_STREAM_VMEM_BUDGET = 48 << 20  # resident slot-table budget (bytes)
 _SWEEP_UNROLL = 4  # phase-C chunk visits per while step
 _SEG_UNROLL = 2  # segment builds per while step
 _FETCH_UNROLL = 4  # inline-fetch winner visits per while step
@@ -2419,10 +2545,14 @@ def _mega_exec_clustered(
             pl.BlockSpec((1, _PI_I32_LEN), lambda i: (0, 0), memory_space=pltpu.SMEM),
             full(ssup),
             full(scl),
-            full(sslots),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+            if statics["stream_slots"]
+            else full(sslots),
             full(tsup),
             full(tcl),
-            full(tslots),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)
+            if statics["stream_slots"]
+            else full(tslots),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # shade_cols stays in HBM
             full(chk),
             full(atlas_planar),
@@ -2448,6 +2578,17 @@ def _mega_exec_clustered(
             pltpu.VMEM((ring_rows, CLUSTER_SLOTS), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((_FETCH_RING,)),  # fetch ring semaphores
+            pltpu.VMEM(
+                (
+                    max(sslots.shape[0], tslots.shape[0])
+                    if statics["stream_slots"]
+                    else 8,
+                    (_STREAM_RING if statics["stream_slots"] else 1)
+                    * CLUSTER_SLOTS,
+                ),
+                jnp.float32,
+            ),  # streamed-slot ring
+            pltpu.SemaphoreType.DMA((_STREAM_RING,)),  # stream semaphores
         ],
         # v5e has far more physical VMEM than the 16 MB default scoped
         # limit; large slot tables + the unrolled loops' temporaries need
@@ -2537,9 +2678,11 @@ def eligible_clustered(scene: SceneData, cfg: RenderConfig) -> bool:
         _atlas_ok(scene)
         and int(cl.n_sph_slots) == ms_pad * CLUSTER_SLOTS
         and (ms_pad + mt_pad) // SUPER_SLOTS <= _WL_ROWS
-        and geom_bytes <= 48 << 20  # VMEM residency budget for slot tables
-        # (vmem_limit_bytes raises the scoped limit well past the 16 MB
-        # default; 48 MB covers ~1.5M spheres or ~700k triangles)
+        # Slot tables within the VMEM residency budget stay resident
+        # (fastest); past it the kernel STREAMS visited clusters' slot
+        # blocks from HBM through a DMA ring (see _STREAM_VMEM_BUDGET /
+        # sweep_entered_streamed), so scene size is bounded only by HBM.
+        and geom_bytes <= 2 << 30
     )
 
 
@@ -2712,6 +2855,16 @@ def _render_clustered(
 
     sky = scene.sky
     sky_model = "perez" if sky.hw_params is None else "hosek"
+    geom_bytes = (
+        cl.sph_cluster.shape[0] * 128 * cl.sph_slots.shape[0] * 4
+        + cl.tri_cluster.shape[0] * 128 * cl.tri_slots.shape[0] * 4
+    )
+    # Past the VMEM residency budget, stream visited clusters' slot
+    # blocks from HBM (Sponza-class scenes stay on the fast path instead
+    # of falling back to the paged wavefront).  The winner fetch then
+    # uses the HBM shade-table DMA path (inline essentials live in the
+    # now-HBM slot tables).
+    stream_slots = geom_bytes > _STREAM_VMEM_BUDGET
     use_defocus = (
         camera.defocus_on
         if camera.defocus_on is not None
@@ -2745,7 +2898,10 @@ def _render_clustered(
         interpret=interpret,
         sky_model=sky_model,
         ablate=ablate,
-        inline_shade=bool(cl.inline_ok) and cl.checker_table is not None,
+        inline_shade=bool(cl.inline_ok)
+        and cl.checker_table is not None
+        and not stream_slots,
+        stream_slots=stream_slots,
     )
     img, iters = _mega_call_clustered(
         (

@@ -176,3 +176,16 @@ def test_clustered_sample_offset_chunks_match_monolithic():
         for off in (0, 2)
     ]
     np.testing.assert_allclose((parts[0] + parts[1]) / 2, mono, atol=1e-5)
+
+
+def test_clustered_streamed_slots_parity(monkeypatch):
+    """Slot-table STREAMING (geometry past the VMEM residency budget):
+    force the streamed sweep by shrinking the budget and assert parity
+    with the generic wavefront — the winner fetch takes the HBM
+    shade-table DMA path in this mode."""
+    from rt_tpu import megakernel as mk
+
+    monkeypatch.setattr(mk, "_STREAM_VMEM_BUDGET", 1)  # stream everything
+    scene = _tri_cloud_scene()
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=2, max_depth=5)
+    _compare(scene, _camera(), cfg)
