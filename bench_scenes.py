@@ -135,7 +135,7 @@ def config4(fixtures):
     )
 
 
-def config5(fixtures, quick=False):
+def config5(fixtures, quick=False, spp5=0):
     import numpy as np
 
     from rt_tpu import scenes
@@ -159,7 +159,7 @@ def config5(fixtures, quick=False):
     w, h = 1920, 1080
     camera = _mesh_cam(w, h, dist=7.0, height=2.6)
     cfg = RenderConfig(width=w, height=h, samples_per_pixel=1, max_depth=12)
-    spp_target = 8 if quick else 256
+    spp_target = spp5 or (8 if quick else 256)
     # 1-spp sweeps: one 1080p sweep is ~2M rays, which keeps every
     # dispatch within the device watchdog even on this blob-class scene.
     passes = ProgressiveSchedule(
@@ -209,7 +209,8 @@ def config5(fixtures, quick=False):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true", help="cap config 5 at 16 spp")
+    ap.add_argument("--quick", action="store_true", help="cap config 5 at 8 spp")
+    ap.add_argument("--spp5", type=int, default=0, help="override config 5 spp")
     ap.add_argument("--only", type=int, default=0)
     args = ap.parse_args()
 
@@ -224,7 +225,7 @@ def main():
     if 4 in todo:
         config4(fixtures)
     if 5 in todo:
-        config5(fixtures, quick=args.quick)
+        config5(fixtures, quick=args.quick, spp5=args.spp5)
 
 
 if __name__ == "__main__":
