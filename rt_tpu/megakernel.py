@@ -295,7 +295,7 @@ def _mega_kernel(
     #   tsup[St_pad,8], tcl[Mt_pad,8], tslots[Mt_pad*128,12],
     #   shade_hbm[2F, slots_pad] (ANY), atlas,
     #   out, iters, sf, si, acc, feat_scr[SUB*F,G], wl_vmem[WS,128],
-    #   wl_smem[WS,128], sup_vmem[1,128], sup_smem[1,128],
+    #   wl_smem[WS,128], sup_vmem[1,WS], sup_smem[1,WS],
     #   slice_vmem[2F,128], dma_sem
     lanes,
     sub,
@@ -765,14 +765,20 @@ def _mega_kernel(
                 cp.wait()
 
             def stage_super_list(mask):
-                """Compact a super mask and DMA the id list to SMEM."""
+                """Compact a super mask and DMA the id list to SMEM.
+
+                Capacity is _WL_ROWS supers (matches eligible_clustered's
+                (ms_pad + mt_pad) // SUPER_SLOTS <= _WL_ROWS bound) — a
+                128-entry stage here once silently dropped supers 129+ of
+                large streamed scenes (>1M prims per set)."""
                 ids = compact_col(mask)
                 k = ids.shape[1]
-                if k < 128:
+                if k < _WL_ROWS:
                     ids = jnp.concatenate(
-                        [ids, jnp.full((1, 128 - k), -1, jnp.int32)], axis=1
+                        [ids, jnp.full((1, _WL_ROWS - k), -1, jnp.int32)],
+                        axis=1,
                     )
-                sup_vmem[0:1, :] = ids[:, :128]
+                sup_vmem[0:1, :] = ids[:, :_WL_ROWS]
                 dma_to(sup_vmem, sup_smem)
                 return jnp.sum(mask)
 
@@ -834,7 +840,7 @@ def _mega_kernel(
                 def seg_body(c):
                     j, p, tot = c
                     for _u in range(_SEG_UNROLL):
-                        jc = jnp.minimum(j, 127)
+                        jc = jnp.minimum(j, _WL_ROWS - 1)
                         sid = jnp.maximum(sup_smem[0, jc], 0)
                         sidc = jnp.minimum(sid, n_sup_tab - 1)
                         base = pl.multiple_of(sidc * SUPER_SLOTS, SUPER_SLOTS)
@@ -2573,8 +2579,8 @@ def _mega_exec_clustered(
             pltpu.VMEM((8 * sub, g), jnp.float32),  # rays_scr
             pltpu.VMEM((_WL_ROWS, 128), jnp.int32),  # wl_vmem
             pltpu.SMEM((_WL_ROWS, 128), jnp.int32),  # wl_smem
-            pltpu.VMEM((1, 128), jnp.int32),  # sup_vmem
-            pltpu.SMEM((1, 128), jnp.int32),  # sup_smem
+            pltpu.VMEM((1, _WL_ROWS), jnp.int32),  # sup_vmem
+            pltpu.SMEM((1, _WL_ROWS), jnp.int32),  # sup_smem
             pltpu.VMEM((ring_rows, CLUSTER_SLOTS), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((_FETCH_RING,)),  # fetch ring semaphores
