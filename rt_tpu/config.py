@@ -92,6 +92,12 @@ class RenderConfig:
     # (1 = every iteration).  Bounce directions decorrelate slowly, so a
     # stale order keeps most of the coherence at a fraction of the sort cost.
     sort_every: int = 4
+    # Clustered-megakernel lane binning: counting-sort the persistent
+    # pool by direction octant x origin cell each bounce so every lane
+    # row (the worklist SIMD granularity) holds coherent rays.  "auto"
+    # (= on for clustered scenes) / "on" / "off".  Bit-exact state
+    # permutation; images differ only by f32 deposit summation order.
+    bin_lanes: str = "auto"
     # Renderer selection: "wavefront" (persistent wavefront, two device
     # programs per bounce), "megakernel" (whole bounce loop in one Pallas
     # call — requires megakernel.eligible(scene) and a TPU backend), or

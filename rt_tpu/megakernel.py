@@ -329,6 +329,7 @@ def _mega_kernel(
     spp_major=False,
     row_groups=1,
     stream_slots=False,
+    bin_lanes=False,
 ):
     if clustered:
         (
@@ -540,6 +541,181 @@ def _mega_kernel(
         active = active | claim
         pixl_s = jnp.where(cm, pix_l, SI(3))
 
+        # ---- lane binning (clustered mode) ---------------------------------
+        # Counting-sort the pool by direction octant x origin cell each
+        # iteration.  Bounce rays are per-LANE incoherent on closed meshes
+        # (the pool's entered-cluster union covers ~90% of a blob after one
+        # bounce, ROADMAP), and lane-row GROUPING only helps if rows are
+        # internally coherent.  Sorting makes every state row a bundle of
+        # same-direction, same-region rays, which is what the reference's
+        # per-ray BVH walk (hittable.rs:135-149) gets for free.
+        #
+        # All-matmul, no gathers: (1) stable rank via per-row bin one-hots
+        # + the claim scan's prefix matrices; (2) the permutation applied
+        # as SUB dot_generals [V, SUB*G] @ [G, SUB*G]^T against dst-row
+        # one-hot blocks.  State crosses the MXU as 16-bit integer halves:
+        # a HIGHEST one-hot matmul carries ints < 2^16 to within +-0.25
+        # (see winner_fetch), so the permutation is BIT-exact and images
+        # are unchanged up to the f32 deposit summation order.
+        if clustered and bin_lanes and "nobin" not in ablate:
+            # Spatial key: the lane's LAST WINNER SUPER (carried in si row
+            # 4) — true geometric locality that no origin-bbox quantization
+            # gets (a huge ground plane swamps pool min/max bounds; the
+            # midpoint-cell variant measured NO union reduction on blobs).
+            # Fresh camera lanes (depth 0) key by screen block instead —
+            # primary rays are coherent in pixel order.
+            NBC = 16  # spatial buckets
+            NB = NBC * 8  # x 8 direction octants
+            ms_pad_b = scl_ref.shape[0]
+            mt_pad_b = tcl_ref.shape[0]
+            ns_tot_b = max((ms_pad_b + mt_pad_b) // SUPER_SLOTS, 1)
+            oct_b = (
+                jnp.where(dx < 0.0, 4, 0)
+                + jnp.where(dy < 0.0, 2, 0)
+                + jnp.where(dz < 0.0, 1, 0)
+            )
+            last_sup = SI(4)
+            sup_bucket = jnp.floor(
+                last_sup.astype(f32) * np.float32(NBC / ns_tot_b)
+            ).astype(jnp.int32)
+            pix_bucket = pixl_s >> max(log2np - 4, 0)
+            cell_b = jnp.clip(
+                jnp.where(depth == 0, pix_bucket, sup_bucket), 0, NBC - 1
+            )
+            bin_b = jnp.where(active, cell_b * 8 + oct_b, NB - 1)
+
+            # Stable rank: C_less(bin) + same-bin count in earlier rows +
+            # inclusive same-bin prefix within the row - 1.
+            nb_iota = jax.lax.broadcasted_iota(jnp.int32, (NB, G), 0)
+            lt_nb = (
+                jax.lax.broadcasted_iota(jnp.int32, (NB, NB), 1)
+                < jax.lax.broadcasted_iota(jnp.int32, (NB, NB), 0)
+            ).astype(f32)
+            hp = jax.lax.Precision.HIGHEST
+            ddc = (((0,), (0,)), ((), ()))
+            ohs_b, owns_b, cnts_b = [], [], []
+            for s in range(SUB):
+                oh = (nb_iota == bin_b[s : s + 1, :]).astype(f32)  # [NB,G]
+                incl = jnp.dot(oh, ltg, preferred_element_type=f32)
+                ohs_b.append(oh)
+                owns_b.append(jnp.sum(oh * incl, axis=0, keepdims=True))
+                cnts_b.append(incl[:, G - 1 : G])  # [NB,1] row totals
+            cnt_all = cnts_b[0]
+            for c in cnts_b[1:]:
+                cnt_all = cnt_all + c
+            # counts reach R > 2^8: HIGHEST keeps them exact on the MXU
+            run = jnp.dot(
+                lt_nb, cnt_all, preferred_element_type=f32, precision=hp
+            )  # [NB,1] = C_less
+            rank_rows = []
+            for s in range(SUB):
+                off_lane = jax.lax.dot_general(
+                    run, ohs_b[s], ddc, preferred_element_type=f32,
+                    precision=hp,
+                )  # [1,G] per-lane base offset
+                rank_rows.append(off_lane + owns_b[s] - 1.0)
+                run = run + cnts_b[s]
+            # State -> 16-bit halves (f32-encoded).
+            def split16(x):
+                u = pltpu.bitcast(x, jnp.uint32)
+                return (
+                    _u2f(u >> jnp.uint32(16)),
+                    _u2f(u & jnp.uint32(0xFFFF)),
+                )
+
+            rows_b = []
+            for v in (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, gid):
+                hi_h, lo_h = split16(v)
+                rows_b.append(hi_h)
+                rows_b.append(lo_h)
+            rows_b.append(depth.astype(f32))
+            rows_b.append(jnp.where(active, 1.0, 0.0))
+            rows_b.append(pixl_s.astype(f32))
+            rows_b.append(last_sup.astype(f32))
+            nv = len(rows_b)  # 24
+
+            # Scatter each SRC row's values to their dst lanes with ONE
+            # wide dot: [nv, G] @ ([R, G] one-hot)^T -> [nv, R], summed
+            # over src rows.  (A lane-axis concat of per-row slices would
+            # be the natural [nv, R] build, but Mosaic can't concatenate
+            # vectors whose sublane offsets differ on the non-concat dim.)
+            gdst_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB * G, G), 0)
+            ddp = (((1,), (1,)), ((), ()))
+            out_all = None
+            for s in range(SUB):
+                rank_si = jnp.floor(rank_rows[s] + 0.5).astype(jnp.int32)
+                pmat = (gdst_iota == rank_si).astype(f32)  # [R, G]
+                vals_s = jnp.concatenate(
+                    [r[s : s + 1, :] for r in rows_b], axis=0
+                )  # [nv, G]
+                part = jax.lax.dot_general(
+                    vals_s, pmat, ddp, preferred_element_type=f32,
+                    precision=hp,
+                )  # [nv, R]
+                out_all = part if out_all is None else out_all + part
+
+            def permuted(vi):
+                col = [
+                    out_all[vi : vi + 1, sp * G : (sp + 1) * G]
+                    for sp in range(SUB)
+                ]
+                return col[0] if SUB == 1 else jnp.concatenate(col, axis=0)
+
+            def join16(vi):
+                hi_h = jnp.floor(permuted(vi) + 0.5).astype(jnp.int32)
+                lo_h = jnp.floor(permuted(vi + 1) + 0.5).astype(jnp.int32)
+                return (hi_h << 16) | lo_h
+
+            ox = pltpu.bitcast(join16(0), f32)
+            oy = pltpu.bitcast(join16(2), f32)
+            oz = pltpu.bitcast(join16(4), f32)
+            dx = pltpu.bitcast(join16(6), f32)
+            dy = pltpu.bitcast(join16(8), f32)
+            dz = pltpu.bitcast(join16(10), f32)
+            tpr = pltpu.bitcast(join16(12), f32)
+            tpg = pltpu.bitcast(join16(14), f32)
+            tpb = pltpu.bitcast(join16(16), f32)
+            gid = join16(18)
+            depth = jnp.floor(permuted(20) + 0.5).astype(jnp.int32)
+            active = permuted(21) > 0.5
+            pixl_s = jnp.floor(permuted(22) + 0.5).astype(jnp.int32)
+            last_sup = jnp.floor(permuted(23) + 0.5).astype(jnp.int32)
+            del rows_b, out_all, nv
+
+            if "bincheck" in ablate:  # debug: count sort-order violations
+                # recompute bins from the permuted state and count
+                # descents in pool order.
+                oct2 = (
+                    jnp.where(dx < 0.0, 4, 0)
+                    + jnp.where(dy < 0.0, 2, 0)
+                    + jnp.where(dz < 0.0, 1, 0)
+                )
+                sup_b2 = jnp.floor(
+                    last_sup.astype(f32) * np.float32(NBC / ns_tot_b)
+                ).astype(jnp.int32)
+                pix_b2 = pixl_s >> max(log2np - 4, 0)
+                cell2 = jnp.clip(
+                    jnp.where(depth == 0, pix_b2, sup_b2), 0, NBC - 1
+                )
+                bin2 = jnp.where(active, cell2 * 8 + oct2, NB - 1)
+                nxt = pltpu.roll(bin2, G - 1, 1)  # lane g+1 (wraps)
+                lane_g = jax.lax.broadcasted_iota(jnp.int32, (SUB, G), 1)
+                within = (nxt < bin2) & (lane_g < G - 1)
+                viol = jnp.sum(jnp.where(within, 1, 0))
+                # row boundaries: last lane of row s vs first of row s+1
+                lastc = bin2[:, G - 1 : G]  # [SUB,1]
+                firstc = bin2[:, 0:1]
+                sub_i = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
+                bviol = jnp.sum(
+                    jnp.where(
+                        (sub_i < SUB - 1)
+                        & (pltpu.roll(firstc, SUB - 1, 0) < lastc),
+                        1,
+                        0,
+                    )
+                )
+                acc[0:1, 8:9] += (viol + bviol).astype(f32)
+
         # ---- intersect ----------------------------------------------------
         # Dots stay on the VPU: an MXU [C,3]@[3,G] contraction at f32
         # precision is pipeline-latency-bound (HIGHEST = 6-9 passes of a
@@ -688,6 +864,23 @@ def _mega_kernel(
             n_sph_slots = ms_pad * CLUSTER_SLOTS
             ns_tot = (ms_pad + mt_pad) // SUPER_SLOTS  # global super count
             ns_pad = max(-(-ns_tot // 8) * 8, 8)
+            # Winner-fetch lane-row groups: with the pool SORTED (bin_lanes)
+            # winners are group-local, so the fetch one-hot dot shrinks its
+            # N axis from SUB*G to RPGF*G — the fetch dot was ~85% of a
+            # closed-blob iteration at N = SUB*G (round-4 probes).  Worklist
+            # regions bound NGF * ns_tot <= _WL_ROWS statically.
+            NGF = 1
+            ngf_cap = SUB
+            if "ngf:" in ablate:  # probe: cap the fetch group count
+                ngf_cap = int(ablate.split("ngf:")[1].split()[0])
+            if bin_lanes:
+                while (
+                    NGF * 2 <= min(SUB, ngf_cap)
+                    and NGF * 2 * max(ns_tot, 1) <= _WL_ROWS
+                ):
+                    NGF *= 2
+            RPGF = SUB // NGF
+            FSTRIDE = _WL_ROWS // NGF
             tiny = np.float32(1.0e-20)
             inv_dx = 1.0 / jnp.where(jnp.abs(dx) > tiny, dx, tiny)
             inv_dy = 1.0 / jnp.where(jnp.abs(dy) > tiny, dy, tiny)
@@ -985,6 +1178,25 @@ def _mega_kernel(
 
                 n_cl_tab = slots_ref.shape[1] // CLUSTER_SLOTS
 
+                if "countsweep" in ablate:
+                    # debug: actual sweep visit count (while steps x unroll)
+                    def csteps(c):
+                        e, k, n = c
+                        for _u in range(_SWEEP_UNROLL):
+                            n = n + jnp.where(e < n_rows, 1, 0)
+                            k2 = k + 1
+                            cnt = wl_smem[jnp.minimum(e, _WL_ROWS - 1), 64]
+                            roll = k2 >= cnt
+                            e = jnp.where(roll, e + 1, e)
+                            k = jnp.where(roll, 0, k2)
+                        return (e, k, n)
+
+                    _, _, n_v = jax.lax.while_loop(
+                        lambda c: c[0] < n_rows, csteps,
+                        (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                    )
+                    acc[0:1, 9:10] += n_v.astype(f32)
+
                 def ccond(c):
                     return c[0] < n_rows
 
@@ -1166,7 +1378,9 @@ def _mega_kernel(
                         )
                 if n_tri_chunks:
                     n_ent = stage_super_list(pool_enter_mask(tsup_ref[:, :]))
-                    n_rows, _ = build_segments(n_ent, tcl_ref)
+                    n_rows, tri_cl_total = build_segments(n_ent, tcl_ref)
+                    if "countent" in ablate:  # debug: tri-set sweep visits
+                        acc[0:1, 7:8] += tri_cl_total
                     if stream_slots:
                         bt_t, bi_t = sweep_entered_streamed(
                             n_rows, tslots_ref, tslots_ref.shape[0],
@@ -1237,9 +1451,173 @@ def _mega_kernel(
                         )
                     return m64
 
+                def winner_members_g(gsid, g):
+                    """Winner-membership restricted to fetch group g's
+                    state rows (the pool is bin-sorted, so a cluster's
+                    winners concentrate in one group)."""
+                    m64 = jnp.zeros((SUPER_SLOTS, 1), jnp.int32)
+                    base = gsid * SUPER_SLOTS
+                    for s in range(g * RPGF, (g + 1) * RPGF):
+                        eq = win_cl[s : s + 1, :] == (cl_iota + base)
+                        m64 = jnp.maximum(
+                            m64,
+                            jnp.max(eq.astype(jnp.int32), axis=1, keepdims=True),
+                        )
+                    return m64
+
+                def build_segments_grouped(n_ent):
+                    """Per (winner super, fetch group) segment rows, written
+                    compactly into per-group worklist REGIONS (region g =
+                    rows [g*FSTRIDE, g*FSTRIDE + p_g)), plus the per-LANE
+                    VISIT ORDINAL ``ordv`` [SUB, G]: the position of each
+                    lane's winner cluster in its region's fetch sequence
+                    (-1 for misses).  The fetch loop then matches lanes
+                    with a PURE-VECTOR compare (ordv == running counter) —
+                    every per-visit scalar->vector broadcast alternative
+                    (splat, roll+[1,1] bcast, M=1 one-hot dot) measured
+                    ~1.1 us/visit on v5e, which WAS the entire blob fetch
+                    cost.  Returns (per-group counts, per-group sph/tri
+                    boundaries, total clusters, ordv)."""
+                    ord_sub_iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (SUB, G), 0
+                    )
+
+                    def seg_body(c):
+                        j = c[0]
+                        ps = list(c[1 : 1 + NGF])
+                        sphc = list(c[1 + NGF : 1 + 2 * NGF])
+                        ebs = list(c[1 + 2 * NGF : 1 + 3 * NGF])
+                        tot = c[1 + 3 * NGF]
+                        ordv_c = c[2 + 3 * NGF]
+                        for _u in range(_SEG_UNROLL):
+                            jc = jnp.minimum(j, _WL_ROWS - 1)
+                            sid = jnp.maximum(sup_smem[0, jc], 0)
+                            valid = j < n_ent
+                            base = sid * SUPER_SLOTS
+                            for g in range(NGF):
+                                eqs = []
+                                m64 = jnp.zeros((SUPER_SLOTS, 1), jnp.int32)
+                                for s in range(g * RPGF, (g + 1) * RPGF):
+                                    eq = win_cl[s : s + 1, :] == (
+                                        cl_iota + base
+                                    )
+                                    eqs.append(eq)
+                                    m64 = jnp.maximum(
+                                        m64,
+                                        jnp.max(
+                                            eq.astype(jnp.int32),
+                                            axis=1,
+                                            keepdims=True,
+                                        ),
+                                    )
+                                seg = compact_col(m64)
+                                seg = jnp.where(
+                                    seg >= 0, seg + sid * SUPER_SLOTS, -1
+                                )
+                                cnt = jnp.sum(m64, axis=0, keepdims=True)
+                                # rank of each member cluster within the
+                                # segment (same prefix the fetch walks)
+                                k64 = m64.shape[0]
+                                tri_lo = (
+                                    jax.lax.broadcasted_iota(
+                                        jnp.int32, (k64, k64), 1
+                                    )
+                                    <= jax.lax.broadcasted_iota(
+                                        jnp.int32, (k64, k64), 0
+                                    )
+                                ).astype(f32)
+                                rank64 = (
+                                    jnp.dot(
+                                        tri_lo,
+                                        m64.astype(f32),
+                                        preferred_element_type=f32,
+                                    )
+                                    - 1.0
+                                )  # [64, 1]
+                                vf = jnp.where(valid, 1.0, 0.0)
+                                for ri, s in enumerate(
+                                    range(g * RPGF, (g + 1) * RPGF)
+                                ):
+                                    contrib = jnp.sum(
+                                        jnp.where(eqs[ri], 1.0, 0.0)
+                                        * (rank64 + ebs[g] + 1.0),
+                                        axis=0,
+                                        keepdims=True,
+                                    )  # [1, G]: ordinal + 1 (0 if none)
+                                    ordv_c = ordv_c + jnp.where(
+                                        ord_sub_iota == s,
+                                        jnp.broadcast_to(
+                                            contrib * vf, (SUB, G)
+                                        ),
+                                        0.0,
+                                    )
+                                segp = jnp.concatenate(
+                                    [seg, jnp.full((1, 64), -1, jnp.int32)],
+                                    axis=1,
+                                )
+                                rowv = jnp.where(
+                                    lane128 == 64,
+                                    jnp.broadcast_to(cnt, (1, 128)),
+                                    segp,
+                                )
+                                keep = valid & (cnt[0, 0] > 0)
+                                pc = jnp.minimum(
+                                    g * FSTRIDE + ps[g], _WL_ROWS - 1
+                                )
+                                old = wl_vmem[pl.ds(pc, 1), :]
+                                wl_vmem[pl.ds(pc, 1), :] = jnp.where(
+                                    keep, rowv, old
+                                )
+                                ps[g] = ps[g] + jnp.where(keep, 1, 0)
+                                ebs[g] = ebs[g] + cnt[0, 0].astype(
+                                    f32
+                                ) * jnp.where(valid, 1.0, 0.0)
+                                tot = tot + cnt.astype(f32) * jnp.where(
+                                    valid, 1.0, 0.0
+                                )
+                            j = j + 1
+                            at_b = j == n_sph_went
+                            sphc = [
+                                jnp.where(at_b, ps[g], sphc[g])
+                                for g in range(NGF)
+                            ]
+                        return tuple(
+                            [j] + ps + sphc + ebs + [tot, ordv_c]
+                        )
+
+                    z = jnp.int32(0)
+                    zf = jnp.zeros((), f32)
+                    init = tuple(
+                        [z]
+                        + [z] * (2 * NGF)
+                        + [zf] * NGF
+                        + [
+                            jnp.zeros((1, 1), f32),
+                            jnp.full((SUB, G), -1.0, f32),
+                        ]
+                    )
+                    out = jax.lax.while_loop(
+                        lambda c: c[0] < n_ent, seg_body, init
+                    )
+                    dma_to(wl_vmem, wl_smem)
+                    return (
+                        list(out[1 : 1 + NGF]),
+                        list(out[1 + NGF : 1 + 2 * NGF]),
+                        out[1 + 3 * NGF],
+                        out[2 + 3 * NGF],
+                    )
+
                 if "fetchnoseg" in ablate:
                     return
-                build_segments_pool(n_went, winner_members)
+                grouped = NGF > 1 and inline_shade
+                if grouped:
+                    ps_g, sphc_g, win_total, ordv = build_segments_grouped(
+                        n_went
+                    )
+                else:
+                    win_total = build_segments_pool(n_went, winner_members)
+                if "countfetch" in ablate:  # debug: winner cluster visits
+                    acc[0:1, 6:7] += win_total
 
                 feat_scr[:, :] = jnp.zeros(feat_scr.shape, f32)
                 # Winner (cluster, local-slot) ids as f32 vectors, computed
@@ -1264,6 +1642,31 @@ def _mega_kernel(
                 def entry_gci(j, k):
                     jc = jnp.minimum(j, _WL_ROWS - 1)
                     return jnp.maximum(wl_smem[jc, jnp.minimum(k, 63)], 0)
+
+                k_sel_iota = jax.lax.broadcasted_iota(jnp.int32, (128, G), 0)
+
+                def entry_gci_vec(jc, kc):
+                    """Worklist id at (row jc, lane kc) broadcast across
+                    lanes as a VECTOR [1, G] f32 — via a vector row load +
+                    an MXU one-hot broadcast.  A general i32/f32
+                    scalar->vector splat inside these while loops measures
+                    ~1.1 us per visit on v5e (the entire closed-blob fetch
+                    cost, round-4 bisect), and a dynamic-shift roll +
+                    [1,1] lane-broadcast costs the same; iota-vs-scalar
+                    compares and scalar ADDRESSING are cheap, so the
+                    broadcast rides a [1,128] @ [128,G] dot instead."""
+                    rowi = wl_vmem[pl.ds(jc, 1), :]  # [1, 128] i32
+                    rowf = jnp.maximum(rowi, 0).astype(f32)
+                    sel = (k_sel_iota == kc).astype(f32)  # iota cmp: cheap
+                    if "fetchnogvdot" in ablate:  # probe: skip the M=1 dot
+                        return rowf * sel[0:1, :128]
+                    if "fetchnorow" in ablate:  # probe: skip the row load
+                        return jnp.sum(sel[0:1, :], axis=0, keepdims=True)
+                    gv = jnp.dot(
+                        rowf, sel, preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # [1, G]; ids < 2^22 round back exactly
+                    return jnp.floor(gv + 0.5)
 
                 def fetch_dma(j, k, slot):
                     gci = entry_gci(j, k)
@@ -1296,12 +1699,19 @@ def _mega_kernel(
                     # within +-0.25, which rounds back exactly.
                     def inline_fetch(lo, hi, slots_ref, nrows, cl_off):
                         # Accumulate into a WHILE CARRY (not scratch) and
-                        # visit _FETCH_UNROLL winners per step — while-loop
-                        # iterations in this kernel carry ~15 us of
-                        # boundary overhead (see sweep_entered).  Masked
-                        # tail visits use gci_f = -2, which matches no
-                        # lane's winner cluster (bi_cl is >= 0 or -1).
+                        # visit _FETCH_UNROLL * _FETCH_KB winners per step
+                        # — while-loop iterations in this kernel carry
+                        # ~15 us of boundary overhead (see sweep_entered),
+                        # and per-visit dots serialize on the fc chain +
+                        # small-matmul latency (75% of a 360k iter, ~99%
+                        # of a closed-blob iter, round-4 probes).  So each
+                        # dot now covers _FETCH_KB clusters K-stacked
+                        # ([nrows, KB*128] @ [KB*128, SUB*G]): same MACs,
+                        # KB-fold fewer chain links.  Masked tail visits
+                        # use gci_f = -2, which matches no lane's winner
+                        # cluster (bi_cl is >= 0 or -1).
                         n_cl_tab = slots_ref.shape[1] // CLUSTER_SLOTS
+                        KB = _FETCH_KB
 
                         def icond(c):
                             return c[0] < hi
@@ -1309,33 +1719,65 @@ def _mega_kernel(
                         def ibody(c):
                             j, k, fc = c
                             for _u in range(_FETCH_UNROLL):
-                                valid = j < hi
-                                gci = entry_gci(j, k)
-                                gci_f = jnp.where(
-                                    valid, gci.astype(f32), -2.0
-                                )
-                                ci = jnp.clip(gci - cl_off, 0, n_cl_tab - 1)
-                                base = pl.multiple_of(
-                                    ci * CLUSTER_SLOTS, CLUSTER_SLOTS
-                                )
-                                sl = slots_ref[:, pl.ds(base, CLUSTER_SLOTS)]
-                                ohs = [
-                                    jnp.where(
-                                        (loc_iota_col == bi_loc[s : s + 1, :])
-                                        & (bi_cl[s : s + 1, :] == gci_f),
-                                        1.0,
-                                        0.0,
+                                sls, ohbs = [], []
+                                for _b in range(KB):
+                                    valid = j < hi
+                                    gci = entry_gci(j, k)  # addressing only
+                                    gv = entry_gci_vec(
+                                        jnp.minimum(j, _WL_ROWS - 1),
+                                        jnp.minimum(k, 63),
                                     )
-                                    for s in range(SUB)
-                                ]
-                                oh_all = jnp.concatenate(ohs, axis=1)
+                                    gci_f = jnp.where(valid, gv, -2.0)
+                                    ci = jnp.clip(gci - cl_off, 0, n_cl_tab - 1)
+                                    base = pl.multiple_of(
+                                        ci * CLUSTER_SLOTS, CLUSTER_SLOTS
+                                    )
+                                    sls.append(
+                                        slots_ref[:, pl.ds(base, CLUSTER_SLOTS)]
+                                    )
+                                    ohs = [
+                                        jnp.where(
+                                            (loc_iota_col == bi_loc[s : s + 1, :])
+                                            & (bi_cl[s : s + 1, :] == gci_f),
+                                            1.0,
+                                            0.0,
+                                        )
+                                        for s in range(SUB)
+                                    ]
+                                    ohbs.append(jnp.concatenate(ohs, axis=1))
+                                    j, k = advance(j, k)
+                                sl = (
+                                    jnp.concatenate(sls, axis=1)
+                                    if KB > 1
+                                    else sls[0]
+                                )  # [nrows, KB*128]
+                                oh_all = (
+                                    jnp.concatenate(ohbs, axis=0)
+                                    if KB > 1
+                                    else ohbs[0]
+                                )  # [KB*128, SUB*G]
+                                if "fetchnodot" in ablate:
+                                    # probe: loop + slices + oh, no matmul
+                                    fc = fc + jnp.sum(
+                                        sl, axis=1, keepdims=True
+                                    ) + jnp.sum(oh_all[0:1, :], axis=0,
+                                                keepdims=True)
+                                    continue
+                                if "fetchconstoh" in ablate:
+                                    # probe: loop + slices + matmul with a
+                                    # loop-invariant one-hot (oh build cost
+                                    # excluded)
+                                    oh_all = jnp.full(
+                                        (KB * CLUSTER_SLOTS, SUB * G),
+                                        0.001,
+                                        f32,
+                                    )
                                 fc = fc + jnp.dot(
                                     sl,
                                     oh_all,
                                     preferred_element_type=f32,
                                     precision=jax.lax.Precision.HIGHEST,
                                 )  # [nrows, SUB*G], exact f32
-                                j, k = advance(j, k)
                             return (j, k, fc)
 
                         feat0 = jnp.zeros((nrows, SUB * G), f32)
@@ -1344,10 +1786,120 @@ def _mega_kernel(
                         )
                         return feat
 
+                    def inline_fetch_ord(lo, hi, slots_ref, nrows, cl_off, g, nvec0):
+                        """Group-g inline fetch over region g's worklist
+                        rows, ORDINAL-MATCHED: per visit the dot is
+                        sl @ locmatch with a LOOP-INVARIANT B operand
+                        (sl @ (locmatch*clmask) == (sl @ locmatch)*clmask),
+                        and lanes select their visit with a pure-vector
+                        compare ordv == nvec.  Rationale (round-4 bisect,
+                        v5e): a per-visit-varying MXU B operand or ANY
+                        scalar->vector broadcast costs ~1.1 us/visit —
+                        that was 99% of a closed-blob iteration; with
+                        const-B dots + vector ordinals the same loop runs
+                        at sweep-like ~20 ns/visit.  Returns (features
+                        [nrows, RPGF*G], nvec after the range) — the
+                        caller chains nvec from the sphere range into the
+                        triangle range of the same region."""
+                        n_cl_tab = slots_ref.shape[1] // CLUSTER_SLOTS
+                        base_row = g * FSTRIDE
+                        ov = ordv[g * RPGF : (g + 1) * RPGF, :]
+                        locm = [
+                            (loc_iota_col == bi_loc[s : s + 1, :]).astype(f32)
+                            for s in range(g * RPGF, (g + 1) * RPGF)
+                        ]  # loop-invariant [128, G] one-hots
+
+                        def egci(j, k):
+                            jc = jnp.minimum(base_row + j, _WL_ROWS - 1)
+                            return jnp.maximum(
+                                wl_smem[jc, jnp.minimum(k, 63)], 0
+                            )
+
+                        def adv(j, k):
+                            cnt = wl_smem[
+                                jnp.minimum(base_row + j, _WL_ROWS - 1), 64
+                            ]
+                            k2 = k + 1
+                            roll = k2 >= cnt
+                            return (
+                                jnp.where(roll, j + 1, j),
+                                jnp.where(roll, 0, k2),
+                            )
+
+                        def icond(c):
+                            return c[0] < hi
+
+                        def ibody(c):
+                            j, k, nvec = c[0], c[1], c[2]
+                            fcs = list(c[3:])
+                            for _u in range(_FETCH_UNROLL * _FETCH_KB):
+                                valid = j < hi
+                                gci = egci(j, k)  # scalar: addressing only
+                                ci = jnp.clip(gci - cl_off, 0, n_cl_tab - 1)
+                                base = pl.multiple_of(
+                                    ci * CLUSTER_SLOTS, CLUSTER_SLOTS
+                                )
+                                if "fconstsl" in ablate:  # probe: static slice
+                                    sl = slots_ref[:, 0:CLUSTER_SLOTS]
+                                else:
+                                    sl = slots_ref[:, pl.ds(base, CLUSTER_SLOTS)]
+                                for r in range(RPGF):
+                                    clm = (ov[r : r + 1, :] == nvec) & valid
+                                    if "fnodot2" in ablate:  # probe: no dot
+                                        pd = sl[:, 0:G] if G <= 128 else None
+                                    else:
+                                        pd = jnp.dot(
+                                            sl,
+                                            locm[r],
+                                            preferred_element_type=f32,
+                                            precision=jax.lax.Precision.HIGHEST,
+                                        )  # [nrows, G], B loop-invariant
+                                    if "fnoclm" in ablate:  # probe: no select
+                                        fcs[r] = fcs[r] + pd
+                                    else:
+                                        fcs[r] = fcs[r] + jnp.where(
+                                            clm, pd, 0.0
+                                        )
+                                nvec = nvec + jnp.where(valid, 1.0, 0.0)
+                                j, k = adv(j, k)
+                            return tuple([j, k, nvec] + fcs)
+
+                        init = tuple(
+                            [lo, jnp.int32(0), nvec0]
+                            + [jnp.zeros((nrows, G), f32)] * RPGF
+                        )
+                        out = jax.lax.while_loop(icond, ibody, init)
+                        feat = (
+                            jnp.concatenate(out[3:], axis=1)
+                            if RPGF > 1
+                            else out[3]
+                        )
+                        return feat, out[2]
+
                     tri_rows = tslots_ref.shape[0]  # 16, or 24 with UVs
                     feat_s = jnp.zeros((8, SUB * G), f32)
                     feat_t = jnp.zeros((tri_rows, SUB * G), f32)
-                    if "fetchnoloop" not in ablate:
+                    if "fetchnoloop" not in ablate and grouped:
+                        fs_blocks, ft_blocks = [], []
+                        for g in range(NGF):
+                            nv = jnp.zeros((1, G), f32)
+                            if n_sph_chunks:
+                                f_g, nv = inline_fetch_ord(
+                                    jnp.int32(0), sphc_g[g],
+                                    sslots_ref, 8, 0, g, nv,
+                                )
+                                fs_blocks.append(f_g)
+                            if n_tri_chunks:
+                                f_g, nv = inline_fetch_ord(
+                                    sphc_g[g], ps_g[g],
+                                    tslots_ref, tri_rows, ms_pad, g, nv,
+                                )
+                                ft_blocks.append(f_g)
+                        if fs_blocks:
+                            feat_s = jnp.concatenate(fs_blocks, axis=1)
+                        if ft_blocks:
+                            feat_t = jnp.concatenate(ft_blocks, axis=1)
+                    elif "fetchnoloop" not in ablate:
                         if n_sph_chunks:
                             feat_s = inline_fetch(
                                 jnp.int32(0), n_sph_went, sslots_ref, 8, 0
@@ -1524,7 +2076,9 @@ def _mega_kernel(
 
                     def v_body(c3):
                         i, j, k = c3
-                        gci_f = entry_gci(j, k).astype(f32)
+                        gci_f = entry_gci_vec(
+                            jnp.minimum(j, _WL_ROWS - 1), jnp.minimum(k, 63)
+                        )  # vector id — no per-visit scalar splat
                         sl = slice_vmem[
                             pl.ds(pl.multiple_of(i * 2 * F, 8), 2 * F), :
                         ]  # [2F, 128] hi|lo feature rows
@@ -2014,6 +2568,11 @@ def _mega_kernel(
         si[1 * SUB : 2 * SUB, :] = depth + 1
         si[2 * SUB : 3 * SUB, :] = jnp.where(cont, 1, 0)
         si[3 * SUB : 4 * SUB, :] = pixl_s
+        if clustered:
+            # Last winner SUPER per lane — the lane-binning spatial key.
+            si[4 * SUB : 5 * SUB, :] = jnp.where(
+                cont & hit, prim >> 13, SI(4)
+            )
 
         n_active = jnp.sum(jnp.where(cont, 1, 0))
         return (next_work + n_claimed, n_active, it + 1)
@@ -2457,6 +3016,7 @@ _CL_STATICS = (
     "f_rows",
     "inline_shade",
     "stream_slots",
+    "bin_lanes",
 )
 
 _WL_ROWS = 256  # worklist rows (>= row_groups * supers per set, statically)
@@ -2465,7 +3025,8 @@ _STREAM_RING = 16  # slot blocks in flight per streamed-sweep chunk
 _STREAM_VMEM_BUDGET = 48 << 20  # resident slot-table budget (bytes)
 _SWEEP_UNROLL = 4  # phase-C chunk visits per while step
 _SEG_UNROLL = 2  # segment builds per while step
-_FETCH_UNROLL = 4  # inline-fetch winner visits per while step
+_FETCH_UNROLL = 2  # inline-fetch dots per while step
+_FETCH_KB = 4  # winner clusters K-stacked per inline-fetch dot
 
 
 @functools.partial(jax.jit, static_argnames=_CL_STATICS)
@@ -2908,6 +3469,10 @@ def _render_clustered(
         and cl.checker_table is not None
         and not stream_slots,
         stream_slots=stream_slots,
+        # Lane binning (see _mega_kernel): "auto" enables the per-bounce
+        # pool sort — it is what keeps closed-geometry (blob/armor/car
+        # class) scenes off the ~100x incoherence cliff.
+        bin_lanes=getattr(cfg, "bin_lanes", "auto") != "off",
     )
     img, iters = _mega_call_clustered(
         (

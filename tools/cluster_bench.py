@@ -18,9 +18,12 @@ from rt_tpu.config import RenderConfig
 from rt_tpu.render import render_pixel_colors
 
 
-def bench(name, scene, w=800, h=450, spp=64, trials=2):
-    camera = scenes.cam1(w, h)
-    cfg = RenderConfig(width=w, height=h, samples_per_pixel=1, max_depth=50)
+def bench(name, scene, w=800, h=450, spp=64, trials=2, bin_lanes="auto", camera=None):
+    camera = camera or scenes.cam1(w, h)
+    cfg = RenderConfig(
+        width=w, height=h, samples_per_pixel=1, max_depth=50,
+        bin_lanes=bin_lanes,
+    )
     burst = jax.jit(lambda: render_pixel_colors(scene, camera, cfg, spp=spp))
     jax.block_until_ready(burst())
     best = float("inf")
@@ -37,24 +40,27 @@ def main():
     spp = 64
     if "--spp" in sys.argv:
         spp = int(sys.argv[sys.argv.index("--spp") + 1])
+    bin_lanes = "auto"
+    if "--bin" in sys.argv:
+        bin_lanes = sys.argv[sys.argv.index("--bin") + 1]
     cam = scenes.cam1(800, 450)
     if which in ("40k", "all"):
-        bench("40k spheres", scenes.cover_scene(100, 100, cam, z=-0.2, seed=0), spp=spp)
+        bench("40k spheres", scenes.cover_scene(100, 100, cam, z=-0.2, seed=0), spp=spp, bin_lanes=bin_lanes)
     if which in ("360k", "all"):
-        bench("360k spheres", scenes.cover_scene(300, 300, cam, z=-0.2, seed=0), spp=spp)
+        bench("360k spheres", scenes.cover_scene(300, 300, cam, z=-0.2, seed=0), spp=spp, bin_lanes=bin_lanes)
     if which in ("1m", "all"):
-        bench("1M spheres", scenes.cover_scene(500, 500, cam, z=-0.2, seed=0), spp=spp)
+        bench("1M spheres", scenes.cover_scene(500, 500, cam, z=-0.2, seed=0), spp=spp, bin_lanes=bin_lanes)
     if which in ("heightfield", "all"):
         from tools.gen_fixtures import ensure_fixtures
 
         fx = ensure_fixtures("/tmp/rt_fixtures")
         b = scenes.mesh_scene({"plaster": fx["heightfield"]})
-        bench("100k-tri heightfield", b, spp=spp)
+        bench("100k-tri heightfield", b, spp=spp, bin_lanes=bin_lanes)
     if which in ("mesh", "all"):
         from tools.gen_fixtures import ensure_fixtures
 
         fx = ensure_fixtures("/tmp/rt_fixtures")
-        bench("100k-tri blob+light", scenes.mesh_with_area_light(fx["obj"]), spp=spp)
+        bench("100k-tri blob+light", scenes.mesh_with_area_light(fx["obj"]), spp=spp, bin_lanes=bin_lanes)
 
 
 if __name__ == "__main__":
