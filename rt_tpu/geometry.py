@@ -307,6 +307,10 @@ def nearest_hit(
         differentiable (the gradient path must use this).
       - "pallas": fused Pallas sphere kernel (rt_tpu/pallas_ops.py) +
         XLA triangles; forward-only.  Falls back to "auto" off-TPU.
+      - "detached": detached-argmin winner search + differentiable
+        re-evaluation (used by trace_radiance_diff).  Applies only to
+        bvh-less scenes; with a BVH it falls through to the BVH diff
+        path below (same detach-then-recompute structure).
     """
     if impl == "pallas" and scene.bvh is None:
         from rt_tpu import pallas_ops
