@@ -52,12 +52,66 @@ def _leaf_clusters(mins: np.ndarray, maxs: np.ndarray, leaf_size: int):
     return clusters
 
 
-def build_clusters(mins: np.ndarray, maxs: np.ndarray):
+def _box_area(lo, hi):
+    e = np.maximum(hi - lo, 0.0)
+    return 2.0 * (e[0] * e[1] + e[1] * e[2] + e[0] * e[2])
+
+
+def _pack_leaves(leaves, mins, maxs, max_clusters, cap=1.0):
+    """Pack SAH leaves into <=CLUSTER_SLOTS clusters, merging CONSECUTIVE
+    leaves only when the union AABB's surface area stays within ``cap`` x
+    the summed areas (a free merge: side-by-side boxes pass, depth-
+    separated boxes fail).  Round-3 packed the DFS order into EXACT
+    128-prim windows for perfect fill — but windows cut ACROSS leaf
+    boundaries, and on closed curved meshes the merged boxes overlap so
+    badly that every grazing ray entered ~12 clusters instead of ~4
+    (tools/bin_sim.py; the blob-class collapse's root cause).  Leaf-
+    preserving packing costs ~30% fill and buys ~3x tighter entry sets.
+
+    When the leaf count exceeds ``max_clusters`` (the clustered kernels'
+    static super budget), the cap escalates (then falls back to plain
+    windows) so huge streamed scenes keep their capacity."""
+    for c in (cap, 2.0, 4.0, 16.0):
+        out = []
+        cur, clo, chi, n = None, None, None, 0
+        for ids in leaves:
+            llo = mins[ids].min(axis=0)
+            lhi = maxs[ids].max(axis=0)
+            if cur is None:
+                cur, clo, chi, n = [ids], llo, lhi, len(ids)
+                continue
+            ulo = np.minimum(clo, llo)
+            uhi = np.maximum(chi, lhi)
+            if n + len(ids) <= CLUSTER_SLOTS and _box_area(
+                ulo, uhi
+            ) <= c * (_box_area(clo, chi) + _box_area(llo, lhi)):
+                cur.append(ids)
+                clo, chi, n = ulo, uhi, n + len(ids)
+            else:
+                out.append(np.concatenate(cur))
+                cur, clo, chi, n = [ids], llo, lhi, len(ids)
+        if cur is not None:
+            out.append(np.concatenate(cur))
+        if max_clusters is None or len(out) <= max_clusters:
+            return out
+    dfs_order = np.concatenate(leaves)
+    return [
+        dfs_order[i : i + CLUSTER_SLOTS]
+        for i in range(0, len(dfs_order), CLUSTER_SLOTS)
+    ]
+
+
+def build_clusters(
+    mins: np.ndarray, maxs: np.ndarray, max_clusters: int | None = None
+):
     """Cluster primitives by AABB.
 
     Returns (slot_of_prim i32[P] -> slot index, slots i32[M*CLUSTER_SLOTS] -> prim id
     or -1, cluster_aabb f32[M_pad, 8], super_aabb f32[S, 8]) where M_pad is
     a SUPER_SLOTS multiple and dummy entries have inverted AABBs.
+
+    ``max_clusters`` bounds the emitted cluster count (pre-padding); the
+    leaf packer escalates its merge cap to honor it (see _pack_leaves).
     """
     p = mins.shape[0]
     if p == 0:
@@ -66,16 +120,7 @@ def build_clusters(mins: np.ndarray, maxs: np.ndarray):
         clusters = [np.arange(p, dtype=np.int32)]
     else:
         leaves = _leaf_clusters(mins, maxs, CLUSTER_SLOTS)
-        # SAH leaves average ~60-70% fill, which inflates every per-cluster
-        # cost (AABB tests, worklist entries, VMEM footprint) by ~1.5x.
-        # The DFS concatenation of the leaves is a spatially coherent
-        # ordering (a BVH treelet walk), so cutting it into EXACT 128-prim
-        # windows keeps near-leaf AABB tightness at perfect slot fill.
-        dfs_order = np.concatenate(leaves) if leaves else np.zeros(0, np.int64)
-        clusters = [
-            dfs_order[i : i + CLUSTER_SLOTS]
-            for i in range(0, len(dfs_order), CLUSTER_SLOTS)
-        ]
+        clusters = _pack_leaves(leaves, mins, maxs, max_clusters)
 
     m = max(len(clusters), 1)
     m_pad = -(-m // SUPER_SLOTS) * SUPER_SLOTS

@@ -1212,14 +1212,29 @@ def _mega_kernel(
                             wl_smem[ec, jnp.minimum(k, 63)], 0, n_cl_tab - 1
                         )
                         base = pl.multiple_of(ci * CLUSTER_SLOTS, CLUSTER_SLOTS)
-                        sl_t = slots_ref[:, pl.ds(base, CLUSTER_SLOTS)].T
+                        if "sweepconstsl" in ablate:  # probe: static slice
+                            # (loop-invariant slice+transpose get hoisted:
+                            # measures the dynamic slice + relayout share)
+                            sl_t = slots_ref[:, 0:CLUSTER_SLOTS].T
+                        else:
+                            sl_t = slots_ref[:, pl.ds(base, CLUSTER_SLOTS)].T
                         rows = [
                             rays_scr[pl.ds(f * SUB + row0, RPG), :]
                             for f in range(8)
                         ]  # ox oy oz dx dy dz a inv_a, each [RPG, G]
                         for r in range(RPG):
                             rowv = tuple(x[r : r + 1, :] for x in rows)
-                            key = chunk_key(sl_t, rowv)  # [1, G]
+                            if "sweepnomath" in ablate:  # probe: loop +
+                                # slice + transpose, no intersect math
+                                key = (
+                                    pltpu.bitcast(
+                                        sl_t[0:1, 0:1] + rowv[0][0:1, 0:1],
+                                        jnp.int32,
+                                    )
+                                    | jnp.zeros((1, G), jnp.int32)
+                                )
+                            else:
+                                key = chunk_key(sl_t, rowv)  # [1, G]
                             ct = pltpu.bitcast(key & ~127, f32)
                             is_row = sub_iota == row0 + r
                             ctb = jnp.broadcast_to(ct, (SUB, G))

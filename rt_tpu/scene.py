@@ -507,10 +507,18 @@ class SceneBuilder:
         nt = len(self._triangles)
         s_min = sph_center[:ns] - sph_radius[:ns, None]
         s_max = sph_center[:ns] + sph_radius[:ns, None]
-        _, s_slots, s_cl, s_sup = build_clusters(s_min, s_max)
+        # Clustered-megakernel capacity: combined supers <= 256 (the
+        # worklist's _WL_ROWS bound), i.e. 16384 clusters.  Split the
+        # budget by prim share so the leaf-preserving packing (fill
+        # ~0.7) can't push a huge streamed scene out of eligibility —
+        # _pack_leaves escalates its merge cap to stay inside.
+        cap_total = 256 * 64
+        cap_s = max(int(cap_total * ns / max(ns + nt, 1)), 64)
+        cap_t = max(cap_total - cap_s, 64)
+        _, s_slots, s_cl, s_sup = build_clusters(s_min, s_max, cap_s)
         t_min_ = np.minimum(np.minimum(tri_a[:nt], tri_b[:nt]), tri_c[:nt])
         t_max_ = np.maximum(np.maximum(tri_a[:nt], tri_b[:nt]), tri_c[:nt])
-        _, t_slots, t_cl, t_sup = build_clusters(t_min_, t_max_)
+        _, t_slots, t_cl, t_sup = build_clusters(t_min_, t_max_, cap_t)
 
         from rt_tpu.cluster import build_essentials
         from rt_tpu.fast_shade import F_IS_SPHERE, F_TEX_KIND, F_UVA

@@ -8,9 +8,13 @@ gate runs bench.py (subprocess, current tree) and compares against the
 committed baseline with the +-15% basin-variance threshold.
 
 Usage:
-  python tools/perf_gate.py            # measure + compare; exit 1 on fail
-  python tools/perf_gate.py --update   # record the current number
-  python tools/perf_gate.py --also-clustered   # include the 360k row
+  python tools/perf_gate.py            # flat + 360k + blob mesh rows
+  python tools/perf_gate.py --update   # record the current numbers
+  python tools/perf_gate.py --flat-only  # quick loop (flat bench only)
+
+The clustered (360k) and mesh (config-3 class blob) rows are gated BY
+DEFAULT — configs 3-5 live on those paths and a regression there used to
+land silently.
 """
 
 import argparse
@@ -35,10 +39,10 @@ def measure_flat() -> float:
     raise RuntimeError(f"bench.py produced no metric:\n{out.stdout}\n{out.stderr}")
 
 
-def measure_clustered() -> float:
+def measure_clustered(which="360k") -> float:
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "cluster_bench.py"), "360k"],
-        capture_output=True, text=True, cwd=REPO, timeout=900,
+        [sys.executable, os.path.join(REPO, "tools", "cluster_bench.py"), which],
+        capture_output=True, text=True, cwd=REPO, timeout=2400,
     )
     for line in out.stdout.splitlines():
         if "Mray/s" in line:
@@ -49,12 +53,14 @@ def measure_clustered() -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--update", action="store_true")
-    ap.add_argument("--also-clustered", action="store_true")
+    ap.add_argument("--flat-only", action="store_true")
+    ap.add_argument("--also-clustered", action="store_true")  # legacy alias
     args = ap.parse_args()
 
     results = {"flat_cover_mray_s": measure_flat()}
-    if args.also_clustered:
-        results["clustered_360k_mray_s"] = measure_clustered()
+    if not args.flat_only:
+        results["clustered_360k_mray_s"] = measure_clustered("360k")
+        results["mesh_blob_mray_s"] = measure_clustered("mesh")
     print("measured:", json.dumps(results))
 
     if args.update or not os.path.exists(BASELINE_PATH):
