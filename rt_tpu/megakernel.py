@@ -1218,6 +1218,24 @@ def _mega_kernel(
                             sl_t = slots_ref[:, 0:CLUSTER_SLOTS].T
                         else:
                             sl_t = slots_ref[:, pl.ds(base, CLUSTER_SLOTS)].T
+                        if "sweepdup" in ablate:  # probe: + a 2nd dynamic
+                            # slice+transpose per visit (results unchanged:
+                            # folded in via a never-wins key)
+                            base2 = pl.multiple_of(
+                                (n_cl_tab - 1 - ci) * CLUSTER_SLOTS,
+                                CLUSTER_SLOTS,
+                            )
+                            sl2 = slots_ref[:, pl.ds(base2, CLUSTER_SLOTS)].T
+                            dup_pen = jnp.maximum(
+                                pltpu.bitcast(
+                                    jnp.sum(sl2, axis=1, keepdims=True)[0:1, :]
+                                    * 0.0,
+                                    jnp.int32,
+                                ),
+                                jnp.int32(0x7F000000),
+                            )  # [1,1] always-big key
+                        else:
+                            dup_pen = None
                         rows = [
                             rays_scr[pl.ds(f * SUB + row0, RPG), :]
                             for f in range(8)
@@ -1235,6 +1253,19 @@ def _mega_kernel(
                                 )
                             else:
                                 key = chunk_key(sl_t, rowv)  # [1, G]
+                            if "sweepmathdup" in ablate:  # probe: + a 2nd
+                                # full chunk math per row (never wins;
+                                # perturbed operands defeat CSE)
+                                rowv2 = tuple(
+                                    x * np.float32(1.0000001) for x in rowv
+                                )
+                                key2 = chunk_key(sl_t, rowv2)
+                                key = jnp.minimum(
+                                    key,
+                                    jnp.maximum(key2, jnp.int32(0x7F000000)),
+                                )
+                            if dup_pen is not None:
+                                key = jnp.minimum(key, dup_pen)
                             ct = pltpu.bitcast(key & ~127, f32)
                             is_row = sub_iota == row0 + r
                             ctb = jnp.broadcast_to(ct, (SUB, G))
@@ -1261,11 +1292,13 @@ def _mega_kernel(
             ):
                 """Streamed variant of sweep_entered for slot tables past
                 the VMEM budget: worklist entries are processed in chunks
-                of _STREAM_RING visits through three sem/vector-segregated
-                loops (the fetch_chunk lesson: mixing DMA sem ops with
-                vector work in one while body serializes ~43 us/step) —
-                (1) start the chunk's cluster-block DMAs from HBM, (2)
-                wait them, (3) run the chunk math from the VMEM ring."""
+                of _STREAM_RING visits through sem/vector-segregated loops
+                (the fetch_chunk lesson: mixing DMA sem ops with vector
+                work in one while body serializes ~43 us/step), DOUBLE-
+                BUFFERED so chunk N+1's HBM DMAs fly during chunk N's math
+                — per chunk: (1) start the NEXT chunk's DMAs into the
+                other ring half, (2) wait the current chunk's, (3) run the
+                current chunk's math from the VMEM ring."""
                 n_cl_tab = slots_hbm.shape[1] // CLUSTER_SLOTS
 
                 def advance2(e, k):
@@ -1280,46 +1313,55 @@ def _mega_kernel(
                         wl_smem[ec, jnp.minimum(k, 63)], 0, n_cl_tab - 1
                     )
 
-                def slot_dma(e, k, i):
+                def slot_dma(e, k, i, buf):
                     ci = entry_ci(e, k)
+                    slot = buf * _STREAM_RING + i
                     return pltpu.make_async_copy(
                         slots_hbm.at[
                             :, pl.ds(ci * CLUSTER_SLOTS, CLUSTER_SLOTS)
                         ],
                         stream_vmem.at[
                             0:nrows_set,
-                            pl.ds(i * CLUSTER_SLOTS, CLUSTER_SLOTS),
+                            pl.ds(slot * CLUSTER_SLOTS, CLUSTER_SLOTS),
                         ],
-                        stream_sems.at[i],
+                        stream_sems.at[slot],
+                    )
+
+                def start_chunk(e, k, buf):
+                    def s_body(c2):
+                        i, e2, k2 = c2
+                        slot_dma(e2, k2, i, buf).start()
+                        e3, k3 = advance2(e2, k2)
+                        return (i + 1, e3, k3)
+
+                    return jax.lax.while_loop(
+                        lambda c2: (c2[0] < _STREAM_RING) & (c2[1] < n_rows),
+                        s_body,
+                        (jnp.int32(0), e, k),
                     )
 
                 def chunk(c):
-                    e0, k0, bt_c, bi_c = c
+                    # (cursor of the in-flight chunk, its length, its ring
+                    # half, cursor PAST it, best-so-far)
+                    e0, k0, n_cur, buf, e1, k1, bt_c, bi_c = c
 
-                    def s_body(c2):
-                        i, e, k = c2
-                        slot_dma(e, k, i).start()
-                        e2, k2 = advance2(e, k)
-                        return (i + 1, e2, k2)
+                    # (1) start the NEXT chunk's DMAs into the other half
+                    n_next, e2, k2 = start_chunk(e1, k1, 1 - buf)
 
-                    n_started, _, _ = jax.lax.while_loop(
-                        lambda c2: (c2[0] < _STREAM_RING) & (c2[1] < n_rows),
-                        s_body,
-                        (jnp.int32(0), e0, k0),
-                    )
-
+                    # (2) wait the current chunk's DMAs
                     def w_body(c2):
                         i, e, k = c2
-                        slot_dma(e, k, i).wait()
-                        e2, k2 = advance2(e, k)
-                        return (i + 1, e2, k2)
+                        slot_dma(e, k, i, buf).wait()
+                        e3, k3 = advance2(e, k)
+                        return (i + 1, e3, k3)
 
                     jax.lax.while_loop(
-                        lambda c2: c2[0] < n_started,
+                        lambda c2: c2[0] < n_cur,
                         w_body,
                         (jnp.int32(0), e0, k0),
                     )
 
+                    # (3) math on the current chunk from the VMEM ring
                     def v_body(c3):
                         i, e, k, bt_v, bi_v = c3
                         ec = jnp.minimum(e, _WL_ROWS - 1)
@@ -1327,9 +1369,10 @@ def _mega_kernel(
                         row0 = grp * RPG
                         ci = entry_ci(e, k)
                         base = pl.multiple_of(ci * CLUSTER_SLOTS, CLUSTER_SLOTS)
+                        slot = buf * _STREAM_RING + i
                         sl_t = stream_vmem[
                             0:nrows_set,
-                            pl.ds(i * CLUSTER_SLOTS, CLUSTER_SLOTS),
+                            pl.ds(slot * CLUSTER_SLOTS, CLUSTER_SLOTS),
                         ].T
                         rows = [
                             rays_scr[pl.ds(f * SUB + row0, RPG), :]
@@ -1348,22 +1391,28 @@ def _mega_kernel(
                                 shade_base + base + (key & 127),
                                 bi_v,
                             )
-                        e2, k2 = advance2(e, k)
-                        return (i + 1, e2, k2, bt_v, bi_v)
+                        e2_, k2_ = advance2(e, k)
+                        return (i + 1, e2_, k2_, bt_v, bi_v)
 
-                    _, e1, k1, bt_c, bi_c = jax.lax.while_loop(
-                        lambda c3: c3[0] < n_started,
+                    _, _, _, bt_c, bi_c = jax.lax.while_loop(
+                        lambda c3: c3[0] < n_cur,
                         v_body,
                         (jnp.int32(0), e0, k0, bt_c, bi_c),
                     )
-                    return (e1, k1, bt_c, bi_c)
+                    return (e1, k1, n_next, 1 - buf, e2, k2, bt_c, bi_c)
 
-                e0, k0, bt_t, bi_t = jax.lax.while_loop(
-                    lambda c: c[0] < n_rows,
+                # Prologue: fill ring half 0 with the first chunk, then
+                # pipeline until the in-flight chunk is empty.
+                n0, e1_0, k1_0 = start_chunk(jnp.int32(0), jnp.int32(0), 0)
+                out = jax.lax.while_loop(
+                    lambda c: c[2] > 0,
                     chunk,
-                    (jnp.int32(0), jnp.int32(0), bt_t, bi_t),
+                    (
+                        jnp.int32(0), jnp.int32(0), n0, jnp.int32(0),
+                        e1_0, k1_0, bt_t, bi_t,
+                    ),
                 )
-                return bt_t, bi_t
+                return out[6], out[7]
 
             def cluster_nearest():
                 bt_t = jnp.full((SUB, G), BIG_TRUNC, f32)
@@ -3165,12 +3214,12 @@ def _mega_exec_clustered(
                     max(sslots.shape[0], tslots.shape[0])
                     if statics["stream_slots"]
                     else 8,
-                    (_STREAM_RING if statics["stream_slots"] else 1)
+                    (2 * _STREAM_RING if statics["stream_slots"] else 1)
                     * CLUSTER_SLOTS,
                 ),
                 jnp.float32,
-            ),  # streamed-slot ring
-            pltpu.SemaphoreType.DMA((_STREAM_RING,)),  # stream semaphores
+            ),  # streamed-slot ring (double-buffered halves)
+            pltpu.SemaphoreType.DMA((2 * _STREAM_RING,)),  # stream sems
         ],
         # v5e has far more physical VMEM than the 16 MB default scoped
         # limit; large slot tables + the unrolled loops' temporaries need
@@ -3485,9 +3534,26 @@ def _render_clustered(
         and not stream_slots,
         stream_slots=stream_slots,
         # Lane binning (see _mega_kernel): "auto" enables the per-bounce
-        # pool sort — it is what keeps closed-geometry (blob/armor/car
-        # class) scenes off the ~100x incoherence cliff.
-        bin_lanes=getattr(cfg, "bin_lanes", "auto") != "off",
+        # pool sort when lane-row GROUPING can consume the coherence it
+        # creates (NG > 1, i.e. supers fit the worklist at >= 2 groups) —
+        # it is what keeps closed-geometry (blob/armor/car class) scenes
+        # off the incoherence cliff.  With NG == 1 (e.g. the 1M cover's
+        # 200+ supers) the sweep is pool-granular and sorting is pure
+        # overhead (1M: 6.33 off vs 5.98 on, round 4).
+        bin_lanes=(
+            getattr(cfg, "bin_lanes", "auto") == "on"
+            or (
+                getattr(cfg, "bin_lanes", "auto") == "auto"
+                and max(
+                    cl.sph_cluster.shape[0] if scene.num_spheres else 0,
+                    cl.tri_cluster.shape[0] if scene.num_triangles else 0,
+                    SUPER_SLOTS,
+                )
+                // SUPER_SLOTS
+                * 2
+                <= _WL_ROWS
+            )
+        ),
     )
     img, iters = _mega_call_clustered(
         (

@@ -439,7 +439,18 @@ def main():
                 return np.argsort(k, kind="stable"), nb + 128
 
             lc = sn["last_cl"]  # production-granularity winner cluster
+            ns_tot2 = 18  # ~ supers at leaf granularity
+            sup2 = np.where(lc >= 0, lc // 64, 0)
+            def key_mixed():
+                nbc = 16
+                cell = np.where(
+                    fresh, np.minimum(sn["pix"] >> 9, nbc - 1),
+                    np.clip((sup2 * nbc) // ns_tot2, 0, nbc - 1),
+                )
+                kk = np.where(act, cell * 8 + oct_, nbc * 8 - 1)
+                return np.argsort(kk, kind="stable"), 128
             variants = [
+                ("KERNEL-mixed sup16xoct", *key_mixed()),
                 ("prodcl16 x oct", *mk(np.clip(lc * 16 // 832, 0, 15) * 8 + oct_, 128)),
                 ("prodcl64 x oct", *mk(np.clip(lc * 64 // 832, 0, 63) * 8 + oct_, 512)),
                 ("prodcl-full x oct", *mk(np.clip(lc, 0, 831) * 8 + oct_, 832 * 8)),

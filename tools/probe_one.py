@@ -32,7 +32,15 @@ def main():
     ap.add_argument("--n1", type=int, default=48)
     ap.add_argument("--n2", type=int, default=192)
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--unroll", type=int, default=0)
+    ap.add_argument("--tile", type=int, default=8192)
+    ap.add_argument("--sub", type=int, default=0)
     args = ap.parse_args()
+
+    if args.unroll:
+        from rt_tpu import megakernel as _mk
+
+        _mk._SWEEP_UNROLL = args.unroll
 
     w, h = 800, 450
     camera = scenes.cam1(w, h)
@@ -52,15 +60,15 @@ def main():
         scene = scenes.cover_scene(100, 100, camera, z=-0.2, seed=0)
     cfg = RenderConfig(width=w, height=h, samples_per_pixel=1, max_depth=50)
     key = jax.random.key(0)
-    n_tiles = -(-w * h // 8192)
+    n_tiles = -(-w * h // args.tile)
 
     def frame(n_iters):
         c = cfg.replace(bin_lanes=args.bin)
         ab = f"{args.ablate} fixiters:{n_iters}".strip()
-        img = render_megakernel(
-            scene, camera, c, args.spp, 0, key,
-            lanes=args.lanes, tile_pixels=8192, ablate=ab,
-        )
+        kw = dict(lanes=args.lanes, tile_pixels=args.tile, ablate=ab)
+        if args.sub:
+            kw["sub"] = args.sub
+        img = render_megakernel(scene, camera, c, args.spp, 0, key, **kw)
         return np.asarray(jax.block_until_ready(img))
 
     t0 = time.perf_counter()
