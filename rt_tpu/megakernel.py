@@ -1918,6 +1918,19 @@ def _mega_kernel(
                                             preferred_element_type=f32,
                                             precision=jax.lax.Precision.HIGHEST,
                                         )  # [nrows, G], B loop-invariant
+                                    if "fdotdup" in ablate:  # probe: + a
+                                        # 2nd per-visit fetch dot+slice
+                                        # (results unchanged: zero-masked;
+                                        # scaled B defeats CSE)
+                                        pd2 = jnp.dot(
+                                            sl,
+                                            locm[r] * np.float32(0.5),
+                                            preferred_element_type=f32,
+                                            precision=jax.lax.Precision.HIGHEST,
+                                        )
+                                        pd = pd + jnp.where(
+                                            clm & (nvec < -1.0), pd2, 0.0
+                                        )
                                     if "fnoclm" in ablate:  # probe: no select
                                         fcs[r] = fcs[r] + pd
                                     else:
