@@ -271,6 +271,7 @@ def main():
     ap.add_argument("--leafsweep", action="store_true")
     ap.add_argument("--packsweep", action="store_true")
     ap.add_argument("--keysweep", action="store_true")
+    ap.add_argument("--expansion", action="store_true")
     args = ap.parse_args()
     sub, g = args.sub, args.g
 
@@ -377,6 +378,56 @@ def main():
                     f"{mode}/{lb:3d} snap{si}: M={aabb.shape[0]:5d} "
                     f"fill={fill:.2f} per-ray={per_ray.mean():5.1f} "
                     f"visits sorted={v:6d} unsorted={v0:6d}"
+                )
+        return
+
+    if args.expansion:
+        # Round-5 design validation: 8-item sublane-packed visits.
+        # Items = (ray, entered cluster) pairs, sorted by cluster;
+        # each visit = 8 consecutive items x one cluster's 128 slots.
+        # Occupancy = items of the visit's cluster / 8.
+        from rt_tpu.cluster import _leaf_clusters
+
+        t_lo = np.minimum(
+            np.minimum(np.asarray(scene.tri_a), np.asarray(scene.tri_b)),
+            np.asarray(scene.tri_c),
+        )
+        t_hi = np.maximum(
+            np.maximum(np.asarray(scene.tri_a), np.asarray(scene.tri_b)),
+            np.asarray(scene.tri_c),
+        )
+        leaves = _leaf_clusters(t_lo, t_hi, 128)
+        m = len(leaves)
+        aabb = np.zeros((m, 8), np.float32)
+        for ci, ids in enumerate(leaves):
+            aabb[ci, 0:3] = t_lo[ids].min(axis=0)
+            aabb[ci, 3:6] = t_hi[ids].max(axis=0)
+        for si, sn in enumerate(snaps):
+            act = sn["active"]
+            mask = slab_masks(aabb, sn["o"], sn["d"])  # [M, R]
+            mask = mask & act[None, :]
+            pairs = int(mask.sum())
+            upool = int(mask.any(axis=1).sum())
+            percl = mask.sum(axis=1)
+            # items sorted by cluster; per-ray cap K (overflow runs the
+            # old row-sweep as fallback — count capped pairs only)
+            for K in (4, 6, 1 << 30):
+                perray = mask.sum(axis=0)
+                capped = np.minimum(perray, K)
+                # keep the first K clusters per ray
+                mk = mask.copy()
+                csum = np.cumsum(mk, axis=0)
+                mk &= csum <= K
+                pc = mk.sum(axis=1)  # items per cluster
+                # visits: ceil(items_c / 8) per cluster (sorted runs)
+                visits8 = int(np.ceil(pc / 8.0).sum())
+                items = int(pc.sum())
+                occ = items / max(visits8 * 8, 1)
+                over = int((perray > K).sum())
+                print(
+                    f"snap{si} K={K if K < 1000 else 'inf'}: items={items} "
+                    f"U_pool={upool} visits8={visits8} occ={occ:.2f} "
+                    f"overflow_rays={over}/{int(act.sum())}"
                 )
         return
 
