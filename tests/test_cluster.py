@@ -209,3 +209,60 @@ def test_paged_worklist_matches_single_page(rng):
 
     np.testing.assert_allclose(t_best, np.asarray(t_ref), rtol=1e-6)
     np.testing.assert_array_equal(s_best, np.asarray(s_ref))
+
+
+def test_leaf_preserving_packing_tightness(rng):
+    """Round-4 builder fix: clusters preserve SAH-leaf locality.  On a
+    curved shell, exact-128-window packing merged boxes across leaf
+    boundaries and blew per-ray entered counts ~3x (tools/bin_sim.py);
+    leaf-preserving packing must keep total cluster surface area well
+    below the window packing's."""
+    from rt_tpu.cluster import _leaf_clusters, build_clusters
+
+    n = 20000
+    ang = rng.uniform(0, np.pi * 2, n)
+    z = rng.uniform(-1, 1, n)
+    r = np.sqrt(1 - z * z)
+    c = np.stack([r * np.cos(ang), r * np.sin(ang), z], 1).astype(np.float32)
+    h = np.full((n, 1), 0.01, np.float32)
+    mins, maxs = c - h, c + h
+
+    def total_area(aabb):
+        live = aabb[:, 0] <= aabb[:, 3]
+        e = np.maximum(aabb[live, 3:6] - aabb[live, 0:3], 0)
+        return float(
+            (e[:, 0] * e[:, 1] + e[:, 1] * e[:, 2] + e[:, 0] * e[:, 2]).sum()
+        )
+
+    _, _, cl, _ = build_clusters(mins, maxs)
+    leaves = _leaf_clusters(mins, maxs, 128)
+    dfs = np.concatenate(leaves)
+    wnd = [dfs[i : i + 128] for i in range(0, len(dfs), 128)]
+    wa = np.zeros((len(wnd), 8), np.float32)
+    for ci, ids in enumerate(wnd):
+        wa[ci, 0:3] = mins[ids].min(axis=0)
+        wa[ci, 3:6] = maxs[ids].max(axis=0)
+    assert total_area(cl) < 0.7 * total_area(wa)
+
+
+def test_build_clusters_capacity_escalation(rng):
+    """max_clusters merges (then window-packs) until the budget holds —
+    the streamed-scene capacity guarantee behind eligible_clustered."""
+    from rt_tpu.cluster import build_clusters
+
+    n = 60000
+    pts = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    h = np.full((n, 1), 0.05, np.float32)
+    # unconstrained: leaf packing, fill < 1
+    _, _, cl_free, _ = build_clusters(pts - h, pts + h)
+    assert cl_free.shape[0] * 128 > n
+    # feasible cap: honored (pre-padding count <= cap, padded to 64)
+    cap = -(-n // 128) + 32
+    slot_of, slots, cl_cap, _ = build_clusters(pts - h, pts + h, cap)
+    live = slots >= 0
+    n_live_cl = int((cl_cap[:, 0] <= cl_cap[:, 3]).sum())
+    assert n_live_cl <= cap
+    # every prim still in exactly one slot
+    assert sorted(slots[live].tolist()) == list(range(n))
+    for p in range(0, n, 997):
+        assert slots[slot_of[p]] == p
