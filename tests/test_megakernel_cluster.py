@@ -189,3 +189,22 @@ def test_clustered_streamed_slots_parity(monkeypatch):
     scene = _tri_cloud_scene()
     cfg = RenderConfig(width=W, height=H, samples_per_pixel=2, max_depth=5)
     _compare(scene, _camera(), cfg)
+
+
+def test_bin_lanes_on_off_image_parity():
+    """The per-bounce lane-binning sort is a BIT-exact state permutation
+    (16-bit integer halves through HIGHEST one-hot matmuls) and work ids
+    key the RNG streams, so bin on/off must produce the same image up to
+    f32 deposit-summation order."""
+    scene = _tri_cloud_scene()
+    cfg = RenderConfig(width=W, height=H, samples_per_pixel=2, max_depth=5)
+    key = jax.random.key(cfg.seed)
+    imgs = {}
+    for mode in ("on", "off"):
+        imgs[mode] = np.asarray(
+            render_megakernel(
+                scene, _camera(), cfg.replace(bin_lanes=mode), 2, 0, key,
+                lanes=256, tile_pixels=256, interpret=True,
+            )
+        )
+    np.testing.assert_allclose(imgs["on"], imgs["off"], atol=2e-5)
