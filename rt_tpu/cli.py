@@ -78,6 +78,14 @@ def main(argv=None) -> int:
                         help="limit progressive passes")
     parser.add_argument("--checkpoint", default=None,
                         help="progressive checkpoint .npz (resume if exists)")
+    parser.add_argument("--engine", default="wavefront",
+                        choices=["wavefront", "mega"],
+                        help="progressive sweep engine: 'mega' routes full-"
+                        "frame sweeps through the production megakernel "
+                        "(hash-RNG draw family; large/mesh scenes render "
+                        "many times faster per sweep)")
+    parser.add_argument("--checkpoint-every", type=int, default=1,
+                        help="sweeps between checkpoint writes")
     parser.add_argument("--metrics", default=None, help="JSONL metrics path")
     parser.add_argument("--serve", type=int, default=None,
                         help="HTTP preview port (progressive mode)")
@@ -131,6 +139,8 @@ def main(argv=None) -> int:
             checkpoint_path=args.checkpoint,
             metrics_path=args.metrics,
             progress=True,  # indicatif-style sweep bar (profiling.ProgressBar)
+            engine=args.engine,
+            checkpoint_every=args.checkpoint_every,
         )
         server = None
         if args.serve is not None:
