@@ -212,7 +212,12 @@ def config5(fixtures, quick=False, spp5=0):
                 checkpoint_every=16,
             )
             assert 0 < pr2.state.total_spp <= done_spp, "resume mismatch"
-            assert pr2.state.total_spp > done_spp - 16, "stale checkpoint"
+            # Staleness bound in SWEEPS (checkpoint_every=16), not spp —
+            # a pass can add >1 spp, so an spp-based bound would fail
+            # spuriously on multi-sample schedules.
+            assert pr2.state.pass_index > pr.state.pass_index - 16, (
+                "stale checkpoint"
+            )
             pr = pr2
             mid_checked = True
     dt = time.perf_counter() - t0

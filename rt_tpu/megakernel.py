@@ -3106,6 +3106,23 @@ _FETCH_UNROLL = 2  # inline-fetch dots per while step
 _FETCH_KB = 4  # winner clusters K-stacked per inline-fetch dot
 
 
+def _row_group_count(sub, ns_sph, ns_tri):
+    """Lane-row group count NG for the clustered worklists.
+
+    The sweep intersects each entered cluster against only the group's
+    rows, so finer groups cut per-visit math — bounded by the worklist
+    capacity (every group can enter every super in the worst case, and
+    dropping segments would be wrong, so NG * n_supers <= _WL_ROWS must
+    hold STATICALLY) and by the pool's sub rows.  Shared by
+    _mega_exec_clustered and the bin_lanes="auto" decision so the sort
+    can never be enabled in a configuration where NG degrades to 1."""
+    ns_max = max(ns_sph, ns_tri, 1)
+    row_groups = 1
+    while row_groups * 2 <= sub and row_groups * 2 * ns_max <= _WL_ROWS:
+        row_groups *= 2
+    return row_groups
+
+
 @functools.partial(jax.jit, static_argnames=_CL_STATICS)
 def _mega_exec_clustered(
     pf,
@@ -3145,20 +3162,9 @@ def _mega_exec_clustered(
         for k, v in statics.items()
         if k not in ("n_tiles", "n_pixels", "interpret")
     }
-    # Lane-row group count for the worklists: the sweep intersects each
-    # entered cluster against only the group's rows, so finer groups cut
-    # per-visit math — bounded by the worklist capacity (every group can
-    # enter every super in the worst case, and dropping segments would be
-    # wrong, so NG * n_supers <= _WL_ROWS must hold STATICALLY).
     ns_sph = scl.shape[0] // SUPER_SLOTS if statics["n_sph_chunks"] else 0
     ns_tri = tcl.shape[0] // SUPER_SLOTS if statics["n_tri_chunks"] else 0
-    ns_max = max(ns_sph, ns_tri, 1)
-    row_groups = 1
-    while (
-        row_groups * 2 <= sub
-        and row_groups * 2 * ns_max <= _WL_ROWS
-    ):
-        row_groups *= 2
+    row_groups = _row_group_count(sub, ns_sph, ns_tri)
     kernel = functools.partial(
         _mega_kernel,
         p_pad=shade_cols.shape[1],
@@ -3548,23 +3554,26 @@ def _render_clustered(
         stream_slots=stream_slots,
         # Lane binning (see _mega_kernel): "auto" enables the per-bounce
         # pool sort when lane-row GROUPING can consume the coherence it
-        # creates (NG > 1, i.e. supers fit the worklist at >= 2 groups) —
-        # it is what keeps closed-geometry (blob/armor/car class) scenes
-        # off the incoherence cliff.  With NG == 1 (e.g. the 1M cover's
-        # 200+ supers) the sweep is pool-granular and sorting is pure
+        # creates (NG > 1 via the same _row_group_count the kernel uses,
+        # so sub degradation can't leave the sort on at NG == 1) — it is
+        # what keeps closed-geometry (blob/armor/car class) scenes off
+        # the incoherence cliff.  With NG == 1 (e.g. the 1M cover's 200+
+        # supers) the sweep is pool-granular and sorting is pure
         # overhead (1M: 6.33 off vs 5.98 on, round 4).
         bin_lanes=(
             getattr(cfg, "bin_lanes", "auto") == "on"
             or (
                 getattr(cfg, "bin_lanes", "auto") == "auto"
-                and max(
-                    cl.sph_cluster.shape[0] if scene.num_spheres else 0,
-                    cl.tri_cluster.shape[0] if scene.num_triangles else 0,
-                    SUPER_SLOTS,
+                and _row_group_count(
+                    sub,
+                    cl.sph_cluster.shape[0] // SUPER_SLOTS
+                    if scene.num_spheres
+                    else 0,
+                    cl.tri_cluster.shape[0] // SUPER_SLOTS
+                    if scene.num_triangles
+                    else 0,
                 )
-                // SUPER_SLOTS
-                * 2
-                <= _WL_ROWS
+                > 1
             )
         ),
     )

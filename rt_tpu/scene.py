@@ -195,6 +195,22 @@ class _Material:
         self.ior = ior
 
 
+def _cluster_capacity_split(ns: int, nt: int) -> tuple[int, int]:
+    """Per-type cluster-count caps for the clustered megakernel's static
+    worklist budget (sphere_cap, triangle_cap), split by prim share.
+
+    Budgeted in SUPERS (64-cluster groups): build_clusters pads each
+    type's cluster count up to a SUPER_SLOTS multiple and an empty type
+    still emits one padded super, so a cluster-granular 256*64 split
+    could overflow to 257 supers and silently drop the clustered path
+    (round-4 advisor finding).  Invariants (tested): both caps are
+    positive multiples of 64 and the worst-case padded super totals sum
+    to exactly _WL_ROWS (256)."""
+    sup_total = 256
+    sup_s = min(max(round(sup_total * ns / max(ns + nt, 1)), 1), sup_total - 1)
+    return sup_s * 64, (sup_total - sup_s) * 64
+
+
 class SceneBuilder:
     """Host-side mutable scene assembly (reference analog: the
     ``Vec<Shape>`` push pattern in scenes.rs + ``World::build``)."""
@@ -508,13 +524,16 @@ class SceneBuilder:
         s_min = sph_center[:ns] - sph_radius[:ns, None]
         s_max = sph_center[:ns] + sph_radius[:ns, None]
         # Clustered-megakernel capacity: combined supers <= 256 (the
-        # worklist's _WL_ROWS bound), i.e. 16384 clusters.  Split the
-        # budget by prim share so the leaf-preserving packing (fill
-        # ~0.7) can't push a huge streamed scene out of eligibility —
-        # _pack_leaves escalates its merge cap to stay inside.
-        cap_total = 256 * 64
-        cap_s = max(int(cap_total * ns / max(ns + nt, 1)), 64)
-        cap_t = max(cap_total - cap_s, 64)
+        # worklist's _WL_ROWS bound).  Budget in SUPERS, not clusters:
+        # build_clusters pads each type's cluster count up to a
+        # SUPER_SLOTS multiple (and an empty type still yields one
+        # padded super), so a cluster-granular split of 256*64 could
+        # overflow to 257 supers and silently drop the clustered path.
+        # Split the super budget by prim share so the leaf-preserving
+        # packing (fill ~0.7) can't push a huge streamed scene out of
+        # eligibility — _pack_leaves escalates its merge cap to stay
+        # inside.
+        cap_s, cap_t = _cluster_capacity_split(ns, nt)
         _, s_slots, s_cl, s_sup = build_clusters(s_min, s_max, cap_s)
         t_min_ = np.minimum(np.minimum(tri_a[:nt], tri_b[:nt]), tri_c[:nt])
         t_max_ = np.maximum(np.maximum(tri_a[:nt], tri_b[:nt]), tri_c[:nt])

@@ -266,3 +266,23 @@ def test_build_clusters_capacity_escalation(rng):
     assert sorted(slots[live].tolist()) == list(range(n))
     for p in range(0, n, 997):
         assert slots[slot_of[p]] == p
+
+
+def test_capacity_split_stays_within_worklist_supers():
+    """The per-type capacity split must keep PADDED super totals <= 256
+    (_WL_ROWS) for every prim mix — including the one-sided scenes whose
+    forced empty-type super previously overflowed the budget (round-4
+    advisor finding: nt=0 gave 256 sphere supers + 1 padded tri super)."""
+    from rt_tpu.scene import _cluster_capacity_split
+
+    for ns, nt in [
+        (10**7, 0), (0, 10**7), (10**7, 1), (1, 10**7),
+        (5, 5), (10**6, 3), (3, 10**6), (123456, 654321),
+    ]:
+        cap_s, cap_t = _cluster_capacity_split(ns, nt)
+        assert cap_s >= 64 and cap_t >= 64
+        assert cap_s % 64 == 0 and cap_t % 64 == 0
+        # worst-case padded supers: a type at its cap fills cap//64
+        # supers exactly (cap is a 64-multiple); an empty/tiny type pads
+        # to one super, which its >=64 cap already accounts for.
+        assert cap_s // 64 + cap_t // 64 <= 256

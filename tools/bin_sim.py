@@ -13,10 +13,11 @@ without a 10-minute TPU compile per variant.
 Run CPU-only: JAX_PLATFORMS=cpu python tools/bin_sim.py
 """
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
