@@ -98,6 +98,14 @@ class RenderConfig:
     # (= on for clustered scenes) / "on" / "off".  Bit-exact state
     # permutation; images differ only by f32 deposit summation order.
     bin_lanes: str = "auto"
+    # Clustered-megakernel expansion sweep (round 5): intersect via
+    # (8,128) flipped-vreg visits — 8 (ray, entered-cluster) work items
+    # on sublanes x one cluster's 128 slots on lanes — instead of the
+    # row-granular sweep, which pays ~1.3 beneficiary lanes per 128-lane
+    # visit on closed meshes (ROADMAP round-4 decomposition).  "auto"
+    # (= on for VMEM-resident scenes within the item/cluster capacity) /
+    # "on" / "off".  Bit-compatible candidate sets; see megakernel.py.
+    expand_sweep: str = "auto"
     # Renderer selection: "wavefront" (persistent wavefront, two device
     # programs per bounce), "megakernel" (whole bounce loop in one Pallas
     # call — requires megakernel.eligible(scene) and a TPU backend), or

@@ -330,6 +330,7 @@ def _mega_kernel(
     row_groups=1,
     stream_slots=False,
     bin_lanes=False,
+    expand_sweep=False,
 ):
     if clustered:
         (
@@ -340,6 +341,9 @@ def _mega_kernel(
             sf, si, acc,
             feat_scr, rays_scr, wl_vmem, wl_smem, sup_vmem, sup_smem,
             slice_vmem, dma_sem, fetch_sems, stream_vmem, stream_sems,
+            exp_rays_t, exp_rid_planes, exp_meta_v, exp_vis_v, exp_res_v,
+            exp_resrow_v, exp_dst, exp_best_v,
+            exp_meta_s, exp_vis_s, exp_res_s, exp_best_s,
         ) = refs
         table_ref = None
     else:
@@ -918,19 +922,20 @@ def _mega_kernel(
                 tf = tf * np.float32(1.0 + 6e-7) + np.float32(1e-6)
                 return (tn <= tf) & (tf >= 0.0) & live[s : s + 1, :]
 
-            def pool_enter_mask(box):
-                """Per-AABB 'any live pool ray enters' flags i32 [K, 1]."""
+            def pool_enter_mask(box, lane_mask=None):
+                """Per-AABB 'any live pool ray enters' flags i32 [K, 1].
+                ``lane_mask`` (bool [SUB, G]) restricts entry to those
+                lanes — the expansion sweep's overflow-ray fallback."""
                 if "nocull" in ablate:  # correctness ablation: enter all
                     return (box[:, 0:1] <= box[:, 3:4]).astype(jnp.int32)
                 m = jnp.zeros((box.shape[0], 1), jnp.int32)
                 for s in range(SUB):
+                    es = slab_enter(box, s)
+                    if lane_mask is not None:
+                        es = es & lane_mask[s : s + 1, :]
                     m = jnp.maximum(
                         m,
-                        jnp.max(
-                            slab_enter(box, s).astype(jnp.int32),
-                            axis=1,
-                            keepdims=True,
-                        ),
+                        jnp.max(es.astype(jnp.int32), axis=1, keepdims=True),
                     )
                 return m
 
@@ -1016,7 +1021,7 @@ def _mega_kernel(
                 dma_to(wl_vmem, wl_smem)
                 return total
 
-            def build_segments(n_ent, cl_ref):
+            def build_segments(n_ent, cl_ref, lane_mask=None):
                 """Per entered super j and lane-row GROUP g: compact the
                 group's 64-cluster entered mask into the next worklist row
                 [global ids (64) | count@64 | group@65 | -1 pad] (rows with
@@ -1047,10 +1052,13 @@ def _mega_kernel(
                             else:
                                 m64 = jnp.zeros((SUPER_SLOTS, 1), jnp.int32)
                                 for s in range(g * RPG, (g + 1) * RPG):
+                                    es = slab_enter(boxes, s)
+                                    if lane_mask is not None:
+                                        es = es & lane_mask[s : s + 1, :]
                                     m64 = jnp.maximum(
                                         m64,
                                         jnp.max(
-                                            slab_enter(boxes, s).astype(jnp.int32),
+                                            es.astype(jnp.int32),
                                             axis=1,
                                             keepdims=True,
                                         ),
@@ -1414,6 +1422,441 @@ def _mega_kernel(
                 )
                 return out[6], out[7]
 
+            # ---- expansion sweep (round 5) --------------------------------
+            # The row-granular sweep pays [128 slots x 128 lanes] per visit
+            # at ~1.3 beneficiary lanes on closed meshes (~1% occupancy,
+            # ROADMAP round-4 decomposition; the per-ray BVH walk being
+            # matched is hittable.rs:135-149).  The expansion unit is the
+            # (8, 128) vreg FLIPPED: 8 (ray, entered-cluster) work items on
+            # sublanes x one cluster's 128 slots on lanes (~74% potential
+            # occupancy at the measured ~5.9 rays/cluster).  Pipeline:
+            #   1. [M, G] slab masks per state row; hierarchical prefix
+            #      over clusters -> per-ray entered list; per-ray cap
+            #      _EXP_K (overflow rays fall back to the row sweep).
+            #   2. Items land DENSE and cluster-grouped: dst = B[cluster]
+            #      + within-cluster rank (all-matmul prefix machinery).
+            #      Ray ids scatter as DEFAULT-precision byte planes with
+            #      one OR-ed pmat per state row (K dsts share a source
+            #      value) — measured ~0.6 us per 512-item chunk.
+            #   3. Visits walk per-cluster runs in 8-item windows that
+            #      OVERLAP at run boundaries: a window is intersected
+            #      against its cluster's slots, the next cluster's first
+            #      window overwrites any cross-boundary garbage (visits
+            #      execute in cluster order), so items stay dense.  Ray
+            #      state is self-gathered from a transposed (ray-on-
+            #      sublane) pool copy via 8 sublane-dynamic (1, 8) slices
+            #      (measured free under the visit's ~35 vector ops).
+            #   4. Item -> ray winner reduction runs on the SCALAR core
+            #      over SMEM (~10 ns/item measured; every matmul gather
+            #      alternative is MXU-starved by M/N-thin operands).
+            # Bit-compatibility: every (ray, cluster, slot) candidate is
+            # tested with the identical FP expressions as the row sweep,
+            # and overflow/fallback only ever ADDS candidates a ray
+            # legitimately entered, so the reduced min matches the row
+            # sweep's up to equal-key ties across clusters.
+            if expand_sweep:
+                EK, ENI, ENV, ECH = _EXP_K, _EXP_NI, _EXP_NV, _EXP_CH
+                NIQ = ENI // ECH
+                ENIB = ENI // 8  # dense-block width (item j at [j>>.., j&..])
+                ENVB = ENV // 8
+                log2enib = int(np.log2(ENIB))
+                log2envb = int(np.log2(ENVB))
+                log2g = int(np.log2(G))
+                assert (1 << log2g) == G, "expansion needs pow2 lanes/sub"
+                assert (1 << log2enib) == ENIB and (1 << log2envb) == ENVB
+                hp = jax.lax.Precision.HIGHEST
+                ddp2 = (((1,), (1,)), ((), ()))
+                exp_lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                t64_incl = (
+                    jax.lax.broadcasted_iota(jnp.int32, (64, 64), 1)
+                    <= jax.lax.broadcasted_iota(jnp.int32, (64, 64), 0)
+                ).astype(f32)
+                ch_iota = jax.lax.broadcasted_iota(jnp.int32, (ECH, G), 0)
+                g_iota_row = jax.lax.broadcasted_iota(jnp.int32, (1, G), 1)
+
+                def cl_prefix(m):
+                    """Inclusive prefix along the cluster axis of m [M, G]
+                    (hierarchical: per-64 block dots + running offsets;
+                    0/1 operands make DEFAULT precision exact)."""
+                    mb = m.shape[0] // 64
+                    blocks = []
+                    off = jnp.zeros((1, m.shape[1]), f32)
+                    for b in range(mb):
+                        pb = (
+                            jnp.dot(
+                                t64_incl,
+                                m[b * 64 : (b + 1) * 64, :],
+                                preferred_element_type=f32,
+                            )
+                            + off
+                        )
+                        blocks.append(pb)
+                        off = pb[63:64, :]
+                    return jnp.concatenate(blocks, axis=0)
+
+                def sph_visit_key(sl, itm):
+                    """(8,1) packed (t|slot) keys: 8 items vs one sphere
+                    cluster's 128 slots — sph_chunk_key's exact FP ops in
+                    the flipped orientation."""
+                    cx, cy, cz, rad = (
+                        sl[0:1, :], sl[1:2, :], sl[2:3, :], sl[3:4, :]
+                    )
+                    oxs, oys, ozs = itm[:, 0:1], itm[:, 1:2], itm[:, 2:3]
+                    dxs, dys, dzs = itm[:, 3:4], itm[:, 4:5], itm[:, 5:6]
+                    a_s, inv_a_s = itm[:, 6:7], itm[:, 7:8]
+                    ocx = cx - oxs  # (8, 128)
+                    ocy = cy - oys
+                    ocz = cz - ozs
+                    h = dxs * ocx + dys * ocy + dzs * ocz
+                    c_ = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+                    disc = h * h - a_s * c_
+                    sd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    t0 = (h - sd) * inv_a_s
+                    t1 = (h + sd) * inv_a_s
+                    t_cand = jnp.where(t0 >= t_min, t0, t1)
+                    valid = (
+                        (disc >= 0.0)
+                        & (rad > 0.0)
+                        & (t_cand >= t_min)
+                        & (t_cand < t_max)
+                    )
+                    t_cand = jnp.where(valid, t_cand, BIG)
+                    key = (pltpu.bitcast(t_cand, jnp.int32) & ~127) | exp_lane8
+                    return jnp.min(key, axis=1, keepdims=True)
+
+                def tri_visit_key(sl, itm):
+                    """(8,1) packed keys vs one triangle cluster
+                    (tri_chunk_key's exact FP ops, flipped)."""
+                    ax_, ay_, az_ = sl[0:1, :], sl[1:2, :], sl[2:3, :]
+                    e1x, e1y, e1z = sl[3:4, :], sl[4:5, :], sl[5:6, :]
+                    e2x, e2y, e2z = sl[6:7, :], sl[7:8, :], sl[8:9, :]
+                    live_t = sl[9:10, :]
+                    oxs, oys, ozs = itm[:, 0:1], itm[:, 1:2], itm[:, 2:3]
+                    dxs, dys, dzs = itm[:, 3:4], itm[:, 4:5], itm[:, 5:6]
+                    uvx = dys * e2z - dzs * e2y
+                    uvy = dzs * e2x - dxs * e2z
+                    uvz = dxs * e2y - dys * e2x
+                    det = e1x * uvx + e1y * uvy + e1z * uvz
+                    if backface_cull:
+                        det_ok = det > 1e-7
+                    else:
+                        det_ok = jnp.abs(det) > 1e-7
+                    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+                    aox = oxs - ax_
+                    aoy = oys - ay_
+                    aoz = ozs - az_
+                    u = (aox * uvx + aoy * uvy + aoz * uvz) * inv_det
+                    vvx = aoy * e1z - aoz * e1y
+                    vvy = aoz * e1x - aox * e1z
+                    vvz = aox * e1y - aoy * e1x
+                    v = (dxs * vvx + dys * vvy + dzs * vvz) * inv_det
+                    tt = (e2x * vvx + e2y * vvy + e2z * vvz) * inv_det
+                    ok = (
+                        det_ok
+                        & (live_t > 0.5)
+                        & (u >= 0.0)
+                        & (u <= 1.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                        & (tt >= t_min)
+                        & (tt < t_max)
+                        & (tt > 1e-7)
+                    )
+                    t_cand = jnp.where(ok, tt, BIG)
+                    key = (pltpu.bitcast(t_cand, jnp.int32) & ~127) | exp_lane8
+                    return jnp.min(key, axis=1, keepdims=True)
+
+                def expansion_set(cl_ref2, slots_ref2, flavor, shade_base, bt_t, bi_t):
+                    """Run the expansion pipeline for one primitive set;
+                    returns (bt, bi, overflow lane mask [SUB, G])."""
+                    M = cl_ref2.shape[0]
+                    n_cl_tab = slots_ref2.shape[1] // CLUSTER_SLOTS
+                    m_iota = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+                    m_iota_f = m_iota.astype(f32)
+
+                    # (1) per-row masks -> per-(s, k) cluster ids + ranks
+                    pc = jnp.zeros((M, 1), f32)
+                    rowoff = jnp.zeros((M, 1), f32)
+                    ovf_rows = []
+                    cl_ks = [[None] * EK for _ in range(SUB)]
+                    rk_ks = [[None] * EK for _ in range(SUB)]
+                    for s in range(SUB):
+                        m_s = jnp.where(slab_enter(cl_ref2[:, :], s), 1.0, 0.0)
+                        csum = cl_prefix(m_s)  # (M, G) inclusive
+                        count_s = csum[M - 1 : M, :]  # (1, G)
+                        ovf_s = count_s > np.float32(EK)
+                        ovf_rows.append(ovf_s)
+                        capped = m_s * jnp.where(
+                            (csum <= np.float32(EK)) & ~ovf_s, 1.0, 0.0
+                        )
+                        lp = jnp.dot(
+                            capped, ltg, preferred_element_type=f32
+                        )  # (M, G) lane-inclusive rank within row
+                        lpr = lp + rowoff
+                        for k in range(EK):
+                            sel = capped * jnp.where(
+                                csum == np.float32(k + 1), 1.0, 0.0
+                            )
+                            cl_ks[s][k] = jnp.sum(
+                                sel * m_iota_f, axis=0, keepdims=True
+                            )
+                            rk_ks[s][k] = jnp.sum(
+                                sel * lpr, axis=0, keepdims=True
+                            )  # >= 1 for real items, 0 when invalid
+                        rowoff = rowoff + lp[:, G - 1 : G]
+                        pc = pc + lp[:, G - 1 : G]
+
+                    # (2) cluster prefixes, capacity check, per-(s,k) dsts
+                    tm_excl = (
+                        jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+                        < jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+                    ).astype(f32)
+                    bb_ = jnp.dot(
+                        tm_excl, pc, preferred_element_type=f32, precision=hp
+                    )  # (M, 1) exclusive item prefix
+                    nvis_c = jnp.ceil(pc * np.float32(0.125))
+                    bv_ = jnp.dot(
+                        tm_excl, nvis_c, preferred_element_type=f32,
+                        precision=hp,
+                    )
+                    ni_f = bb_[M - 1 : M, :] + pc[M - 1 : M, :]  # (1, 1)
+                    nv_f = bv_[M - 1 : M, :] + nvis_c[M - 1 : M, :]
+                    bail = (ni_f > np.float32(ENI)) | (nv_f > np.float32(ENV))
+                    bail_row = jnp.broadcast_to(bail, (1, G))
+                    # concat in i32: Mosaic cannot concatenate i1 vregs
+                    ovf_full = (
+                        vstack(
+                            [
+                                jnp.where(o | bail_row, 1, 0)
+                                for o in ovf_rows
+                            ]
+                        )
+                        > 0
+                    )  # (SUB, G) bool
+                    ni_s = jnp.where(bail, 0.0, ni_f)[0, 0].astype(jnp.int32)
+                    nv_s = jnp.where(bail, 0.0, nv_f)[0, 0].astype(jnp.int32)
+                    if "countexp" in ablate:
+                        acc[0:1, 10:11] += ni_f
+                        acc[0:1, 11:12] += nv_f
+                        acc[0:1, 12:13] += jnp.sum(
+                            jnp.where(ovf_full, 1.0, 0.0)
+                        )
+                    for s in range(SUB):
+                        for k in range(EK):
+                            oh = jnp.where(m_iota_f == cl_ks[s][k], 1.0, 0.0)
+                            bc = jnp.sum(oh * bb_, axis=0, keepdims=True)
+                            dst = bc + rk_ks[s][k] - 1.0  # -1 when invalid
+                            exp_dst[s * EK + k : s * EK + k + 1, :] = (
+                                dst.astype(jnp.int32)
+                            )
+
+                    # (3) scatter ray-id byte planes to dense item slots
+                    def sc_body(c):
+                        base = c * ECH
+                        tot = None
+                        for s in range(SUB):
+                            pm = jnp.zeros((ECH, G), f32)
+                            for k in range(EK):
+                                d = exp_dst[s * EK + k : s * EK + k + 1, :] - base
+                                pm = jnp.maximum(
+                                    pm, jnp.where(ch_iota == d, 1.0, 0.0)
+                                )
+                            lane_lin = s * G + g_iota_row  # (1, G)
+                            vals = jnp.concatenate(
+                                [
+                                    (lane_lin >> 8).astype(f32),
+                                    (lane_lin & 255).astype(f32),
+                                ],
+                                axis=0,
+                            )  # (2, G) byte planes, bf16-exact
+                            part = jax.lax.dot_general(
+                                vals, pm, ddp2, preferred_element_type=f32
+                            )  # (2, ECH)
+                            tot = part if tot is None else tot + part
+                        cc = jnp.minimum(c, NIQ - 1)
+                        exp_rid_planes[
+                            0:2, pl.ds(pl.multiple_of(cc * ECH, ECH), ECH)
+                        ] = tot
+                        return c + 1
+
+                    jax.lax.while_loop(
+                        lambda c: c * ECH < ni_s, sc_body, jnp.int32(0)
+                    )
+                    rid_all = jnp.clip(
+                        (
+                            jnp.floor(exp_rid_planes[0:1, :] + 0.5).astype(
+                                jnp.int32
+                            )
+                            << 8
+                        )
+                        | jnp.floor(exp_rid_planes[1:2, :] + 0.5).astype(
+                            jnp.int32
+                        ),
+                        0,
+                        R - 1,
+                    )  # (1, ENI)
+
+                    # (4) item -> cluster (searchsorted over bb_), packed
+                    # with the scattered ray id into the dense meta rows,
+                    # and the visit tables (cluster + start item per visit)
+                    for b in range(8):
+                        ii = (
+                            jax.lax.broadcasted_iota(jnp.int32, (M, ENIB), 1)
+                            + b * ENIB
+                        ).astype(f32)
+                        cnt = jnp.sum(
+                            jnp.where(ii >= bb_, 1.0, 0.0),
+                            axis=0,
+                            keepdims=True,
+                        )
+                        icl_b = (cnt - 1.0).astype(jnp.int32)
+                        rid_b = rid_all[0:1, b * ENIB : (b + 1) * ENIB]
+                        exp_meta_v[b : b + 1, :] = (icl_b << 12) | rid_b
+                    shift1 = jnp.where(
+                        jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+                        == jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) - 1,
+                        1.0,
+                        0.0,
+                    )  # S @ x = x shifted down one (row 0 -> 0)
+                    db_ = bb_ - jnp.dot(
+                        shift1, bb_, preferred_element_type=f32, precision=hp
+                    )
+                    dbv = bv_ - jnp.dot(
+                        shift1, bv_, preferred_element_type=f32, precision=hp
+                    )
+                    for b in range(8):
+                        vv = (
+                            jax.lax.broadcasted_iota(jnp.int32, (M, ENVB), 1)
+                            + b * ENVB
+                        ).astype(f32)
+                        cmp = jnp.where(vv >= bv_, 1.0, 0.0)
+                        vc = jnp.sum(cmp, axis=0, keepdims=True) - 1.0
+                        bd_at = jnp.sum(cmp * db_, axis=0, keepdims=True)
+                        bv_at = jnp.sum(cmp * dbv, axis=0, keepdims=True)
+                        vst = bd_at + 8.0 * (vv[0:1, :] - bv_at)
+                        exp_vis_v[b : b + 1, :] = (
+                            jnp.clip(vc, 0, n_cl_tab - 1).astype(jnp.int32)
+                            << 14
+                        ) | jnp.clip(vst, 0, ENI - 8).astype(jnp.int32)
+                    dma_to(exp_meta_v, exp_meta_s)
+                    dma_to(exp_vis_v, exp_vis_s)
+
+                    # (5) visits: 8-item windows vs one cluster's slots
+                    def vis_body(c):
+                        v = c
+                        for _u in range(_EXP_UNROLL):
+                            vc2 = jnp.minimum(v, ENV - 1)
+                            ev = exp_vis_s[vc2 >> log2envb, vc2 & (ENVB - 1)]
+                            cic = ev >> 14
+                            stc = ev & 16383
+                            sl = slots_ref2[
+                                :,
+                                pl.ds(
+                                    pl.multiple_of(
+                                        cic * CLUSTER_SLOTS, CLUSTER_SLOTS
+                                    ),
+                                    CLUSTER_SLOTS,
+                                ),
+                            ]
+                            its = []
+                            for j in range(8):
+                                ix = stc + j
+                                rj = (
+                                    exp_meta_s[ix >> log2enib, ix & (ENIB - 1)]
+                                    & 4095
+                                )
+                                its.append(exp_rays_t[pl.ds(rj, 1), :])
+                            itm = jnp.concatenate(its, axis=0)  # (8, 8)
+                            exp_res_v[pl.ds(stc, 8), 0:1] = flavor(sl, itm)
+                            v = v + 1
+                        return v
+
+                    jax.lax.while_loop(
+                        lambda v: v < nv_s, vis_body, jnp.int32(0)
+                    )
+
+                    # (6) lane-major key copy (SMEM is (8,128)-tiled: the
+                    # (ENI, 1) layout the visits need would pad 8x past
+                    # the budget) then the scalar item -> ray reduction
+                    resf = pltpu.bitcast(exp_res_v[:, :], f32)  # exact move
+                    for b in range(8):
+                        row = jnp.concatenate(
+                            [
+                                resf[
+                                    b * ENIB + q * 128 : b * ENIB
+                                    + (q + 1) * 128,
+                                    0:1,
+                                ].T
+                                for q in range(ENIB // 128)
+                            ],
+                            axis=1,
+                        )  # (1, ENIB)
+                        exp_resrow_v[b : b + 1, :] = pltpu.bitcast(
+                            row, jnp.int32
+                        )
+                    exp_best_v[:, :] = jnp.where(
+                        jax.lax.broadcasted_iota(jnp.int32, (2 * SUB, G), 0)
+                        < SUB,
+                        jnp.int32(0x7FFFFFFF),
+                        0,
+                    )
+                    dma_to(exp_best_v, exp_best_s)
+                    dma_to(exp_resrow_v, exp_res_s)
+
+                    def red_body(c):
+                        j = c
+                        for _u in range(_EXP_RED_UNROLL):
+                            jc = jnp.minimum(j, ENI - 1)
+                            jr = jc >> log2enib
+                            jl = jc & (ENIB - 1)
+                            em = exp_meta_s[jr, jl]
+                            r = em & 4095
+                            ic = em >> 12
+                            key = exp_res_s[jr, jl]
+                            row = r >> log2g
+                            lane = r & (G - 1)
+                            b = exp_best_s[row, lane]
+                            # Strict < on the TRUNCATED t (slot bits
+                            # masked): items arrive in ascending-cluster
+                            # order, so cross-cluster truncated-t ties
+                            # resolve to the earlier cluster — exactly the
+                            # row sweep's visit-order tie-break.  (Within
+                            # a cluster the visit's packed min already
+                            # picked the lowest slot, as the sweep does.)
+                            bet = (key & ~127) < b
+                            exp_best_s[row, lane] = jnp.where(
+                                bet, key & ~127, b
+                            )
+                            cs = ic * CLUSTER_SLOTS + (key & 127)
+                            exp_best_s[SUB + row, lane] = jnp.where(
+                                bet, cs, exp_best_s[SUB + row, lane]
+                            )
+                            j = j + 1
+                        return j
+
+                    jax.lax.while_loop(
+                        lambda j: j < ni_s, red_body, jnp.int32(0)
+                    )
+                    if "expdump:" in ablate and shade_base != 0:
+                        # debug: 128 packed meta/key words from item
+                        # offset lo (row-aligned) -> acc
+                        lo_d = int(ablate.split("expdump:")[1].split()[0])
+                        br, bl = lo_d // ENIB, lo_d % ENIB
+                        acc[0:1, 128:256] += exp_meta_v[
+                            br : br + 1, bl : bl + 128
+                        ].astype(f32)  # (icl << 12) | rid
+                        acc[8:9, 128:256] += pltpu.bitcast(
+                            exp_resrow_v[br : br + 1, bl : bl + 128], f32
+                        )  # keys as f32 t
+                    dma_to(exp_best_s, exp_best_v)
+                    keyv = exp_best_v[0:SUB, :]
+                    csv = exp_best_v[SUB : 2 * SUB, :]
+                    btv = pltpu.bitcast(keyv & ~127, f32)
+                    bb2 = btv < bt_t  # false for the INT_MAX/NaN no-winner
+                    bt_t = jnp.where(bb2, btv, bt_t)
+                    bi_t = jnp.where(bb2, shade_base + csv, bi_t)
+                    return bt_t, bi_t, ovf_full
+
             def cluster_nearest():
                 bt_t = jnp.full((SUB, G), BIG_TRUNC, f32)
                 bi_t = jnp.zeros((SUB, G), jnp.int32)
@@ -1421,12 +1864,32 @@ def _mega_kernel(
                 # can read any lane-row group at a dynamic offset.
                 for f_i, val in enumerate((ox, oy, oz, dx, dy, dz, a, inv_a)):
                     rays_scr[f_i * SUB : (f_i + 1) * SUB, :] = val
+                if expand_sweep:
+                    # Ray-on-sublane transposed pool copy: visits gather
+                    # their 8 items' state as sublane-dynamic (1, 8)
+                    # slices (exact data movement, no matmul round trip).
+                    for s in range(SUB):
+                        rows8 = jnp.concatenate(
+                            [
+                                x[s : s + 1, :]
+                                for x in (ox, oy, oz, dx, dy, dz, a, inv_a)
+                            ],
+                            axis=0,
+                        )  # (8, G)
+                        exp_rays_t[s * G : (s + 1) * G, :] = rows8.T
                 # n_sph_chunks / n_tri_chunks double as set-present flags in
                 # clustered mode (host sets them to 1 when the set is live).
                 if n_sph_chunks:
-                    mask = pool_enter_mask(ssup_ref[:, :])
+                    lane_mask = None
+                    if expand_sweep:
+                        bt_t, bi_t, lane_mask = expansion_set(
+                            scl_ref, sslots_ref, sph_visit_key, 0, bt_t, bi_t
+                        )
+                    mask = pool_enter_mask(ssup_ref[:, :], lane_mask)
                     n_ent = stage_super_list(mask)
-                    n_rows, cl_mask_total = build_segments(n_ent, scl_ref)
+                    n_rows, cl_mask_total = build_segments(
+                        n_ent, scl_ref, lane_mask
+                    )
                     if "countent" in ablate:  # debug: entered supers /
                         # clusters per frame via the image accumulator
                         acc[0:1, 2:3] += n_ent.astype(f32)
@@ -1441,8 +1904,67 @@ def _mega_kernel(
                             n_rows, sslots_ref, sph_chunk_key, 0, bt_t, bi_t
                         )
                 if n_tri_chunks:
-                    n_ent = stage_super_list(pool_enter_mask(tsup_ref[:, :]))
-                    n_rows, tri_cl_total = build_segments(n_ent, tcl_ref)
+                    lane_mask = None
+                    if expand_sweep:
+                        bt_pre = bt_t
+                        bt_t, bi_t, lane_mask = expansion_set(
+                            tcl_ref, tslots_ref, tri_visit_key, n_sph_slots,
+                            bt_t, bi_t,
+                        )
+                        if "expcheck" in ablate:
+                            # debug: full row sweep from the same pre
+                            # state; non-overflow lanes MUST agree.
+                            n_ent_d = stage_super_list(
+                                pool_enter_mask(tsup_ref[:, :])
+                            )
+                            n_rows_d, _ = build_segments(n_ent_d, tcl_ref)
+                            bt_f, bi_f = sweep_entered(
+                                n_rows_d, tslots_ref, tri_chunk_key,
+                                n_sph_slots, bt_pre,
+                                jnp.zeros((SUB, G), jnp.int32),
+                            )
+                            mism = (
+                                ~lane_mask & active & (bt_t != bt_f)
+                            )
+                            acc[0:1, 13:14] += jnp.sum(
+                                jnp.where(mism, 1.0, 0.0)
+                            )
+                            mism_bi = (
+                                ~lane_mask
+                                & active
+                                & (bt_f < bt_pre)
+                                & (bi_t != bi_f)
+                            )
+                            acc[0:1, 14:15] += jnp.sum(
+                                jnp.where(mism_bi, 1.0, 0.0)
+                            )
+                            acc[0:1, 15:16] += jnp.sum(
+                                jnp.where(~lane_mask & active, 1.0, 0.0)
+                            )  # checked-lane denominator
+                            # bi can legitimately differ on equal-TRUNCATED-t
+                            # ties at shared triangle edges: the row sweep
+                            # tests clusters entered by ANY ray of the
+                            # row-group, so a tie candidate whose AABB the
+                            # ray's own slab test culled (grazing-interval
+                            # rounding) can win there.  bt equality is the
+                            # hard invariant; mism_bi is reported separately.
+                            mism = mism | mism_bi
+                            mism_f = jnp.where(mism, 1.0, 0.0)
+                            acc[0:1, 64 : 64 + G] += jnp.sum(
+                                mism_f, axis=0, keepdims=True
+                            )
+                            for s_d in range(SUB):
+                                acc[0:1, 96 + s_d : 97 + s_d] += jnp.sum(
+                                    mism_f[s_d : s_d + 1, :],
+                                    axis=1,
+                                    keepdims=True,
+                                )
+                    n_ent = stage_super_list(
+                        pool_enter_mask(tsup_ref[:, :], lane_mask)
+                    )
+                    n_rows, tri_cl_total = build_segments(
+                        n_ent, tcl_ref, lane_mask
+                    )
                     if "countent" in ablate:  # debug: tri-set sweep visits
                         acc[0:1, 7:8] += tri_cl_total
                     if stream_slots:
@@ -3094,6 +3616,7 @@ _CL_STATICS = (
     "inline_shade",
     "stream_slots",
     "bin_lanes",
+    "expand_sweep",
 )
 
 _WL_ROWS = 256  # worklist rows (>= row_groups * supers per set, statically)
@@ -3104,6 +3627,15 @@ _SWEEP_UNROLL = 4  # phase-C chunk visits per while step
 _SEG_UNROLL = 2  # segment builds per while step
 _FETCH_UNROLL = 2  # inline-fetch dots per while step
 _FETCH_KB = 4  # winner clusters K-stacked per inline-fetch dot
+
+# Expansion sweep (round 5; see _mega_kernel's expansion section).
+_EXP_K = 8  # per-ray entered-cluster cap (overflow rays -> row sweep)
+_EXP_NI = 8192  # dense (ray, cluster) item capacity per set
+_EXP_NV = 2048  # visit capacity (NV can exceed NI/8: 1-item clusters)
+_EXP_CH = 512  # items per scatter-chunk step
+_EXP_MAX_CL = 2048  # per-set cluster bound for the [M, R] mask matmuls
+_EXP_UNROLL = 4  # visits per while step
+_EXP_RED_UNROLL = 8  # reduction items per while step
 
 
 def _row_group_count(sub, ns_sph, ns_tri):
@@ -3180,6 +3712,7 @@ def _mega_exec_clustered(
         **kernel_kw,
     )
     g = lanes // sub
+    exp_on = statics["expand_sweep"]
     full = lambda arr: pl.BlockSpec(
         arr.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
@@ -3239,6 +3772,47 @@ def _mega_exec_clustered(
                 jnp.float32,
             ),  # streamed-slot ring (double-buffered halves)
             pltpu.SemaphoreType.DMA((2 * _STREAM_RING,)),  # stream sems
+            # Expansion-sweep scratch (minimal dummies when disabled).
+            pltpu.VMEM(
+                (lanes, 8) if exp_on else (8, 128), jnp.float32
+            ),  # exp_rays_t: ray state transposed (ray on sublane)
+            pltpu.VMEM(
+                (8, _EXP_NI) if exp_on else (8, 128), jnp.float32
+            ),  # exp_rid_planes: scattered ray-id byte planes
+            # Item metadata lives DENSE in (8, N/8) blocks — SMEM is
+            # (8,128)-tiled like VMEM, so (N, 1) or (1, N) shapes pad
+            # 8x (a round-5 compile fault: s32[8192,1] = 4 MB vs the
+            # 1 MB SMEM budget).  Item j indexes [j >> 10, j & 1023].
+            pltpu.VMEM(
+                (8, _EXP_NI // 8) if exp_on else (8, 128), jnp.int32
+            ),  # exp_meta_v: packed (item_cl << 12) | ray_id
+            pltpu.VMEM(
+                (8, _EXP_NV // 8) if exp_on else (8, 128), jnp.int32
+            ),  # exp_vis_v: packed (visit_cl << 14) | visit_start
+            pltpu.VMEM(
+                (_EXP_NI, 1) if exp_on else (8, 1), jnp.int32
+            ),  # exp_res_v: per-item packed (t | slot) keys (visit writes)
+            pltpu.VMEM(
+                (8, _EXP_NI // 8) if exp_on else (8, 128), jnp.int32
+            ),  # exp_resrow_v: lane-major copy of exp_res_v for the DMA
+            pltpu.VMEM(
+                (_EXP_K * sub, g) if exp_on else (8, 128), jnp.int32
+            ),  # exp_dst: per-(s, k) item destinations
+            pltpu.VMEM(
+                (2 * sub, g) if exp_on else (8, 128), jnp.int32
+            ),  # exp_best_v: reduced per-ray [key | cluster*128+slot]
+            pltpu.SMEM(
+                (8, _EXP_NI // 8) if exp_on else (8, 128), jnp.int32
+            ),  # exp_meta_s
+            pltpu.SMEM(
+                (8, _EXP_NV // 8) if exp_on else (8, 128), jnp.int32
+            ),  # exp_vis_s
+            pltpu.SMEM(
+                (8, _EXP_NI // 8) if exp_on else (8, 128), jnp.int32
+            ),  # exp_res_s
+            pltpu.SMEM(
+                (2 * sub, g) if exp_on else (8, 128), jnp.int32
+            ),  # exp_best_s
         ],
         # v5e has far more physical VMEM than the 16 MB default scoped
         # limit; large slot tables + the unrolled loops' temporaries need
@@ -3515,6 +4089,25 @@ def _render_clustered(
     # uses the HBM shade-table DMA path (inline essentials live in the
     # now-HBM slot tables).
     stream_slots = geom_bytes > _STREAM_VMEM_BUDGET
+    # Expansion sweep (round 5): hard requirements are VMEM-resident slot
+    # tables (visits lane-slice them), per-set cluster counts within the
+    # [M, R] mask-matmul budget, and pow2 lanes-per-row (the scalar
+    # reduction splits ray ids with shifts).
+    exp_cfg = getattr(cfg, "expand_sweep", "auto")
+    g_lanes = lanes // max(sub, 1)
+    expand = (
+        exp_cfg in ("auto", "on")
+        and not stream_slots
+        and max(
+            cl.sph_cluster.shape[0] if scene.num_spheres else 0,
+            cl.tri_cluster.shape[0] if scene.num_triangles else 0,
+        )
+        <= _EXP_MAX_CL
+        and g_lanes > 0
+        and (g_lanes & (g_lanes - 1)) == 0
+        and lanes <= 4096  # ray ids ride a 12-bit packed-meta field
+        and "noexp" not in ablate
+    )
     use_defocus = (
         camera.defocus_on
         if camera.defocus_on is not None
@@ -3552,6 +4145,7 @@ def _render_clustered(
         and cl.checker_table is not None
         and not stream_slots,
         stream_slots=stream_slots,
+        expand_sweep=expand,
         # Lane binning (see _mega_kernel): "auto" enables the per-bounce
         # pool sort when lane-row GROUPING can consume the coherence it
         # creates (NG > 1 via the same _row_group_count the kernel uses,

@@ -212,6 +212,70 @@ def render_sharded_wavefront(
     return colors[:n_pixels].reshape(h, w, 3)
 
 
+def render_sharded_megakernel(
+    scene: SceneData,
+    camera: Camera,
+    cfg: RenderConfig,
+    mesh: Mesh,
+    *,
+    spp: int | None = None,
+    key: jax.Array | None = None,
+    lanes: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """The PRODUCTION clustered/flat megakernel under the device mesh:
+    each device runs the persistent-pool Pallas kernel over its own
+    contiguous pixel tile via ``shard_map`` (same zero-collective layout
+    as render_sharded_wavefront).  ``interpret=True`` lets the CPU mesh
+    exercise the kernel family end-to-end (dryrun_multichip); on real
+    chips the compiled kernel runs per device unchanged.
+
+    Tile pools are independent of the mesh shape, so the result is
+    bit-identical to the single-device megakernel render."""
+    try:
+        from jax import shard_map  # jax >= 0.6
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    from rt_tpu.megakernel import render_megakernel
+
+    spp = spp if spp is not None else cfg.samples_per_pixel
+    key = key if key is not None else jax.random.key(cfg.seed)
+    w, h = camera.image_width, camera.image_height
+    n_pixels = w * h
+    n_dev = mesh.shape["tiles"] * mesh.shape["spp"]
+    shard_px = 256  # one megakernel tile per device
+    assert n_pixels == n_dev * shard_px, (
+        "dryrun geometry: pixels must split into one 256-pixel tile per"
+        f" device (got {n_pixels} px over {n_dev} devices)"
+    )
+
+    import inspect
+
+    kw = {}
+    sig = inspect.signature(shard_map).parameters
+    if "check_rep" in sig:
+        kw["check_rep"] = False  # legacy jax.experimental API only
+    if "check_vma" in sig:
+        # pallas_call outputs carry no vma annotation; the kernel is
+        # fully per-shard (no collectives), so the check adds nothing.
+        kw["check_vma"] = False
+
+    @partial(shard_map, mesh=mesh, in_specs=(), out_specs=P(("tiles", "spp")), **kw)
+    def shard_fn():
+        idx = jax.lax.axis_index("tiles") * mesh.shape["spp"] + jax.lax.axis_index(
+            "spp"
+        )
+        return render_megakernel(
+            scene, camera, cfg, spp, 0, key,
+            pixel_base=idx * shard_px, n_pixels=shard_px,
+            lanes=lanes, tile_pixels=shard_px, interpret=interpret,
+        )
+
+    colors = jax.jit(shard_fn)()
+    return colors.reshape(h, w, 3)
+
+
 @partial(jax.jit, static_argnames=("cfg", "spp", "width", "lr"))
 def _train_step(
     params: grad_mod.SceneParams,

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--n2", type=int, default=192)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--unroll", type=int, default=0)
+    ap.add_argument("--expk", type=int, default=0)
+    ap.add_argument("--expunroll", type=int, default=0)
     ap.add_argument("--tile", type=int, default=8192)
     ap.add_argument("--sub", type=int, default=0)
     args = ap.parse_args()
@@ -41,6 +43,14 @@ def main():
         from rt_tpu import megakernel as _mk
 
         _mk._SWEEP_UNROLL = args.unroll
+    if args.expk:
+        from rt_tpu import megakernel as _mk
+
+        _mk._EXP_K = args.expk
+    if args.expunroll:
+        from rt_tpu import megakernel as _mk
+
+        _mk._EXP_UNROLL = args.expunroll
 
     w, h = 800, 450
     camera = scenes.cam1(w, h)
@@ -103,6 +113,9 @@ def main():
         ("entered_supers", 2), ("entered_clusters", 3), ("U_pool", 4),
         ("sum_row", 5), ("fetch_visits", 6), ("tri_cl_total", 7),
         ("bin_violations", 8), ("sweep_visits", 9),
+        ("exp_items", 10), ("exp_visits", 11), ("exp_ovf_lanes", 12),
+        ("expcheck_bt_mism", 13), ("expcheck_bi_mism", 14),
+        ("expcheck_lanes", 15),
     ):
         v1 = img1[col, 0] * spp
         v2 = img2[col, 0] * spp
