@@ -1571,40 +1571,20 @@ def _mega_kernel(
                     returns (bt, bi, overflow lane mask [SUB, G])."""
                     M = cl_ref2.shape[0]
                     n_cl_tab = slots_ref2.shape[1] // CLUSTER_SLOTS
-                    m_iota = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
-                    m_iota_f = m_iota.astype(f32)
 
-                    # (1) per-row masks -> per-(s, k) cluster ids + ranks
+                    # (1) counting pass: per-cluster capped item counts
+                    # (and the per-row overflow masks, reused below)
                     pc = jnp.zeros((M, 1), f32)
-                    rowoff = jnp.zeros((M, 1), f32)
                     ovf_rows = []
-                    cl_ks = [[None] * EK for _ in range(SUB)]
-                    rk_ks = [[None] * EK for _ in range(SUB)]
                     for s in range(SUB):
                         m_s = jnp.where(slab_enter(cl_ref2[:, :], s), 1.0, 0.0)
                         csum = cl_prefix(m_s)  # (M, G) inclusive
-                        count_s = csum[M - 1 : M, :]  # (1, G)
-                        ovf_s = count_s > np.float32(EK)
+                        ovf_s = csum[M - 1 : M, :] > np.float32(EK)
                         ovf_rows.append(ovf_s)
                         capped = m_s * jnp.where(
                             (csum <= np.float32(EK)) & ~ovf_s, 1.0, 0.0
                         )
-                        lp = jnp.dot(
-                            capped, ltg, preferred_element_type=f32
-                        )  # (M, G) lane-inclusive rank within row
-                        lpr = lp + rowoff
-                        for k in range(EK):
-                            sel = capped * jnp.where(
-                                csum == np.float32(k + 1), 1.0, 0.0
-                            )
-                            cl_ks[s][k] = jnp.sum(
-                                sel * m_iota_f, axis=0, keepdims=True
-                            )
-                            rk_ks[s][k] = jnp.sum(
-                                sel * lpr, axis=0, keepdims=True
-                            )  # >= 1 for real items, 0 when invalid
-                        rowoff = rowoff + lp[:, G - 1 : G]
-                        pc = pc + lp[:, G - 1 : G]
+                        pc = pc + jnp.sum(capped, axis=1, keepdims=True)
 
                     # (2) cluster prefixes, capacity check, per-(s,k) dsts
                     tm_excl = (
@@ -1641,14 +1621,35 @@ def _mega_kernel(
                         acc[0:1, 12:13] += jnp.sum(
                             jnp.where(ovf_full, 1.0, 0.0)
                         )
+                    # (2b) dst pass: recompute the masks (cheaper than
+                    # holding K*SUB (M,G) selectors across the B dot) and
+                    # emit per-(s,k) dsts in ONE weighted reduce each:
+                    # dst = Sigma_m sel * (B[m] + rank) - 1, which fuses
+                    # the old rank reduce + cluster-id extraction +
+                    # one-hot B gather into a single pass.
+                    rowoff = jnp.zeros((M, 1), f32)
                     for s in range(SUB):
+                        m_s = jnp.where(slab_enter(cl_ref2[:, :], s), 1.0, 0.0)
+                        csum = cl_prefix(m_s)
+                        capped = m_s * jnp.where(
+                            (csum <= np.float32(EK)) & ~ovf_rows[s], 1.0, 0.0
+                        )
+                        lp = jnp.dot(
+                            capped, ltg, preferred_element_type=f32
+                        )  # lane-inclusive rank within row
+                        wgt = lp + rowoff + bb_  # (M, G): global rank + base
                         for k in range(EK):
-                            oh = jnp.where(m_iota_f == cl_ks[s][k], 1.0, 0.0)
-                            bc = jnp.sum(oh * bb_, axis=0, keepdims=True)
-                            dst = bc + rk_ks[s][k] - 1.0  # -1 when invalid
+                            sel = capped * jnp.where(
+                                csum == np.float32(k + 1), 1.0, 0.0
+                            )
+                            dst = (
+                                jnp.sum(sel * wgt, axis=0, keepdims=True)
+                                - 1.0
+                            )  # -1 when the ray has no k-th cluster
                             exp_dst[s * EK + k : s * EK + k + 1, :] = (
                                 dst.astype(jnp.int32)
                             )
+                        rowoff = rowoff + lp[:, G - 1 : G]
 
                     # (3) scatter ray-id byte planes to dense item slots
                     def sc_body(c):
@@ -3629,12 +3630,15 @@ _FETCH_UNROLL = 2  # inline-fetch dots per while step
 _FETCH_KB = 4  # winner clusters K-stacked per inline-fetch dot
 
 # Expansion sweep (round 5; see _mega_kernel's expansion section).
-_EXP_K = 8  # per-ray entered-cluster cap (overflow rays -> row sweep)
+_EXP_K = 16  # per-ray entered-cluster cap (overflow rays -> row sweep;
+# measured blob overflow at K=16: ~2 lanes/iter -> the fallback sweep is
+# ~38 visits/iter; K=8 left 96 overflow lanes and a 836-visit fallback)
 _EXP_NI = 8192  # dense (ray, cluster) item capacity per set
 _EXP_NV = 2048  # visit capacity (NV can exceed NI/8: 1-item clusters)
 _EXP_CH = 512  # items per scatter-chunk step
 _EXP_MAX_CL = 2048  # per-set cluster bound for the [M, R] mask matmuls
-_EXP_UNROLL = 4  # visits per while step
+_EXP_MIN_CHORD = 3.0  # chord-incoherence threshold for expand_sweep=auto
+_EXP_UNROLL = 8  # visits per while step (274.7 vs 286 us/iter at 4)
 _EXP_RED_UNROLL = 8  # reduction items per while step
 
 
@@ -4107,6 +4111,15 @@ def _render_clustered(
         and (g_lanes & (g_lanes - 1)) == 0
         and lanes <= 4096  # ray ids ride a 12-bit packed-meta field
         and "noexp" not in ablate
+        # auto: only where bounce rays are cluster-incoherent (closed
+        # bodies).  On open/sparse layouts the row-granular sweep's
+        # lane-row unions stay tight and expansion's item machinery
+        # is pure overhead (heightfield 11.3 -> 3.2, 40k cover
+        # 8.3 -> 3.1 Mray/s measured with it forced on).
+        and (
+            exp_cfg == "on"
+            or getattr(cl, "chord_clusters", 0.0) >= _EXP_MIN_CHORD
+        )
     )
     use_defocus = (
         camera.defocus_on

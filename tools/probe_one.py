@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--unroll", type=int, default=0)
     ap.add_argument("--expk", type=int, default=0)
     ap.add_argument("--expunroll", type=int, default=0)
+    ap.add_argument("--expred", type=int, default=0)
+    ap.add_argument("--expch", type=int, default=0)
     ap.add_argument("--tile", type=int, default=8192)
     ap.add_argument("--sub", type=int, default=0)
     args = ap.parse_args()
@@ -51,6 +53,14 @@ def main():
         from rt_tpu import megakernel as _mk
 
         _mk._EXP_UNROLL = args.expunroll
+    if args.expred:
+        from rt_tpu import megakernel as _mk
+
+        _mk._EXP_RED_UNROLL = args.expred
+    if args.expch:
+        from rt_tpu import megakernel as _mk
+
+        _mk._EXP_CH = args.expch
 
     w, h = 800, 450
     camera = scenes.cam1(w, h)
