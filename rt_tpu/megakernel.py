@@ -2639,48 +2639,60 @@ def _mega_kernel(
                         )
                     return computed
 
-                def fetch_chunk(c):
-                    j0, k0 = c
+                # DOUBLE-BUFFERED ring halves (round 5, the
+                # sweep_entered_streamed pattern): the next half's HBM
+                # DMAs start BEFORE the current half's wait + matmuls, so
+                # winner-block copies overlap the one-hot dots — the 1.7M
+                # streamed row's bottleneck was this fetch running
+                # start/wait/math strictly in sequence (round-4 ROADMAP).
+                FHALF = _FETCH_RING // 2
 
-                    def s_cond(c2):
-                        i, j, k = c2
-                        return (i < _FETCH_RING) & (j < n_went)
-
+                def start_half(j, k, buf):
                     def s_body(c2):
-                        i, j, k = c2
+                        i, j2, k2 = c2
                         if "fetchnodma" not in ablate:
-                            fetch_dma(j, k, i).start()
-                        j2, k2 = advance(j, k)
-                        return (i + 1, j2, k2)
+                            fetch_dma(j2, k2, buf * FHALF + i).start()
+                        j3, k3 = advance(j2, k2)
+                        return (i + 1, j3, k3)
 
-                    n_started, j1, k1 = jax.lax.while_loop(
-                        s_cond, s_body, (jnp.int32(0), j0, k0)
+                    return jax.lax.while_loop(
+                        lambda c2: (c2[0] < FHALF) & (c2[1] < n_went),
+                        s_body,
+                        (jnp.int32(0), j, k),
                     )
 
+                def fetch_pipe(c):
+                    # (cursor of the in-flight half, its length, its ring
+                    # half, cursor PAST it)
+                    j0, k0, n_cur, buf, j1, k1 = c
+
+                    # (1) start the NEXT half's DMAs into the other half
+                    n_next, j2, k2 = start_half(j1, k1, 1 - buf)
+
+                    # (2) wait the current half's DMAs
                     if "fetchnodma" not in ablate:
 
                         def w_body(c2):
                             i, j, k = c2
-                            fetch_dma(j, k, i).wait()
-                            j2, k2 = advance(j, k)
-                            return (i + 1, j2, k2)
+                            fetch_dma(j, k, buf * FHALF + i).wait()
+                            j3, k3 = advance(j, k)
+                            return (i + 1, j3, k3)
 
                         jax.lax.while_loop(
-                            lambda c2: c2[0] < n_started,
+                            lambda c2: c2[0] < n_cur,
                             w_body,
                             (jnp.int32(0), j0, k0),
                         )
 
-                    def v_cond(c3):
-                        return c3[0] < n_started
-
+                    # (3) one-hot feature matmuls from the VMEM ring
                     def v_body(c3):
                         i, j, k = c3
                         gci_f = entry_gci_vec(
                             jnp.minimum(j, _WL_ROWS - 1), jnp.minimum(k, 63)
                         )  # vector id — no per-visit scalar splat
+                        slot = buf * FHALF + i
                         sl = slice_vmem[
-                            pl.ds(pl.multiple_of(i * 2 * F, 8), 2 * F), :
+                            pl.ds(pl.multiple_of(slot * 2 * F, 8), 2 * F), :
                         ]  # [2F, 128] hi|lo feature rows
                         # NOTE: a winner-super's every segment entry has
                         # >= 1 winner by construction, so no step is
@@ -2705,17 +2717,25 @@ def _mega_kernel(
                                 feat_scr[pl.ds(s * F, F), :] += (
                                     r[:F] + r[F : 2 * F]
                                 )
-                        j2, k2 = advance(j, k)
-                        return (i + 1, j2, k2)
+                        j2_, k2_ = advance(j, k)
+                        return (i + 1, j2_, k2_)
 
-                    jax.lax.while_loop(v_cond, v_body, (jnp.int32(0), j0, k0))
-                    return (j1, k1)
+                    jax.lax.while_loop(
+                        lambda c3: c3[0] < n_cur,
+                        v_body,
+                        (jnp.int32(0), j0, k0),
+                    )
+                    return (j1, k1, n_next, 1 - buf, j2, k2)
 
                 if "fetchnoloop" not in ablate:
+                    n0, j1_0, k1_0 = start_half(jnp.int32(0), jnp.int32(0), 0)
                     jax.lax.while_loop(
-                        lambda c: c[0] < n_went,
-                        fetch_chunk,
-                        (jnp.int32(0), jnp.int32(0)),
+                        lambda c: c[2] > 0,
+                        fetch_pipe,
+                        (
+                            jnp.int32(0), jnp.int32(0), n0, jnp.int32(0),
+                            j1_0, k1_0,
+                        ),
                     )
                     if "countfetch" in ablate:  # debug: winner supers,
                         # recovered from the image accumulator.

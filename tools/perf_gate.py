@@ -1,20 +1,26 @@
 #!/usr/bin/env python
-"""Flat-bench perf gate: catch scheduling-cliff regressions at commit time.
+"""Commit-time perf gate with recorded per-row SPREADS.
 
 The flat megakernel sits on a Mosaic scheduling cliff (ROADMAP): even
 strictly op-reducing edits have measured -13% end to end, so any
-megakernel-touching commit must A/B the bench on the real chip.  This
-gate runs bench.py (subprocess, current tree) and compares against the
-committed baseline with the +-15% basin-variance threshold.
+megakernel-touching commit must A/B the bench on the real chip.
+
+Two failure tiers per row (round-5, after round-4's drift critique):
+  REGRESSION  measured best falls below the hard basin bound
+              (baseline best x 0.85) -> exit 1.
+  DRIFT       measured best falls outside the baseline's recorded
+              3-run spread (but above the hard bound) -> exit 0 with a
+              loud marker.  Same-session spreads measure ~1-3%; what
+              lands here is cross-day compiler/platform drift (e.g. the
+              heightfield row recorded 11.3 one day and 9.5 the next on
+              the IDENTICAL commit).  A DRIFT must be explained or
+              re-based with --update, not ignored.
 
 Usage:
-  python tools/perf_gate.py            # flat + 360k + blob mesh rows
-  python tools/perf_gate.py --update   # record the current numbers
+  python tools/perf_gate.py              # all rows, 3 runs each
+  python tools/perf_gate.py --update     # re-record (best, spread)
   python tools/perf_gate.py --flat-only  # quick loop (flat bench only)
-
-The clustered (360k) and mesh (config-3 class blob) rows are gated BY
-DEFAULT — configs 3-5 live on those paths and a regression there used to
-land silently.
+  python tools/perf_gate.py --runs 1     # fast check (no spread info)
 """
 
 import argparse
@@ -25,7 +31,7 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASELINE_PATH = os.path.join(REPO, "PERF_BASELINE.json")
-THRESHOLD = 0.85  # basin-variance bound (ROADMAP scheduling-cliff note)
+THRESHOLD = 0.85  # hard basin-variance bound (ROADMAP scheduling cliff)
 
 
 def measure_flat() -> float:
@@ -39,7 +45,7 @@ def measure_flat() -> float:
     raise RuntimeError(f"bench.py produced no metric:\n{out.stdout}\n{out.stderr}")
 
 
-def measure_clustered(which="360k") -> float:
+def measure_clustered(which) -> float:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "cluster_bench.py"), which],
         capture_output=True, text=True, cwd=REPO, timeout=2400,
@@ -50,18 +56,39 @@ def measure_clustered(which="360k") -> float:
     raise RuntimeError(f"cluster_bench produced no metric:\n{out.stdout}\n{out.stderr}")
 
 
+ROWS = {
+    "flat_cover_mray_s": measure_flat,
+    "clustered_360k_mray_s": lambda: measure_clustered("360k"),
+    "clustered_40k_mray_s": lambda: measure_clustered("40k"),
+    "heightfield_mray_s": lambda: measure_clustered("heightfield"),
+    "mesh_blob_mray_s": lambda: measure_clustered("mesh"),
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--update", action="store_true")
     ap.add_argument("--flat-only", action="store_true")
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--also-clustered", action="store_true")  # legacy alias
     args = ap.parse_args()
 
-    results = {"flat_cover_mray_s": measure_flat()}
-    if not args.flat_only:
-        results["clustered_360k_mray_s"] = measure_clustered("360k")
-        results["mesh_blob_mray_s"] = measure_clustered("mesh")
-    print("measured:", json.dumps(results))
+    rows = (
+        {"flat_cover_mray_s": ROWS["flat_cover_mray_s"]}
+        if args.flat_only
+        else ROWS
+    )
+    results = {}
+    for name, fn in rows.items():
+        runs = sorted(fn() for _ in range(max(args.runs, 1)))
+        results[name] = {
+            "best": runs[-1],
+            "spread_pct": round(
+                100.0 * (runs[-1] - runs[0]) / max(runs[-1], 1e-9), 2
+            ),
+            "runs": runs,
+        }
+        print(f"measured {name}: {results[name]}", flush=True)
 
     if args.update or not os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH, "w") as f:
@@ -75,16 +102,24 @@ def main() -> int:
     for k, v in results.items():
         b = base.get(k)
         if b is None:
+            print(f"{k}: no baseline row (run --update)")
             continue
-        ratio = v / b
-        status = "OK" if ratio >= THRESHOLD else "REGRESSION"
+        if isinstance(b, dict):
+            b_best, b_spread = b["best"], b["spread_pct"] / 100.0
+        else:  # legacy scalar baseline
+            b_best, b_spread = float(b), 0.03
+        ratio = v["best"] / b_best
         if ratio < THRESHOLD:
-            ok = False
-        print(f"{k}: {v:.2f} vs baseline {b:.2f} ({ratio:.3f}x) {status}")
+            status, ok = "REGRESSION", False
+        elif ratio < 1.0 - max(b_spread, 0.02):
+            status = "DRIFT (outside recorded spread — explain or --update)"
+        else:
+            status = "OK"
+        print(f"{k}: {v['best']:.2f} vs baseline {b_best:.2f} ({ratio:.3f}x) {status}")
     if not ok:
         print(
-            f"FAIL: below the {THRESHOLD:.0%} basin-variance threshold — "
-            "re-measure (basin noise) or fix before committing."
+            f"FAIL: below the {THRESHOLD:.0%} hard basin bound — re-measure "
+            "(basin noise) or fix before committing."
         )
     return 0 if ok else 1
 
