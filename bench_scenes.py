@@ -89,9 +89,12 @@ def _mesh_cam(w, h, dist=5.5, height=2.2):
     )
 
 
-def config3(fixtures):
+def config3(fixtures, depthcheck=False):
+    import numpy as np
+
     from rt_tpu import scenes
     from rt_tpu.config import RenderConfig
+    from rt_tpu.render import render_image
 
     # PRIMARY row: the skull-class CLOSED mesh — BASELINE names "OBJ
     # skull mesh + emissive area light" (scenes.rs:344-368 loads
@@ -102,11 +105,31 @@ def config3(fixtures):
     cfg = RenderConfig(width=800, height=450, samples_per_pixel=64, max_depth=16)
     scene = scenes.mesh_with_area_light(fixtures["obj"])
     rays, dt = time_frame(scene, camera, cfg, spp=64)
+    extra = {"tris": int(scene.num_triangles)}
+    if depthcheck:
+        # Justify the depth-16 label against the reference's
+        # MAX_DEPTH=100 (scenes.rs:15): under Russian roulette almost
+        # every path retires long before 16 bounces, so the depth-16
+        # and depth-50 images must agree WITHIN SAMPLING NOISE (the
+        # seed-to-seed difference at the same spp).
+        c16 = cfg.replace(samples_per_pixel=32, max_depth=16)
+        a16, _ = render_image(scene, camera, c16)
+        b16, _ = render_image(scene, camera, c16.replace(seed=1))
+        a50, _ = render_image(scene, camera, c16.replace(max_depth=50))
+        noise = float(np.abs(a16 - b16).mean())
+        delta = float(np.abs(a16 - a50).mean())
+        extra.update(
+            {
+                "depth16_vs_depth50_mad": round(delta, 6),
+                "seed_noise_mad_32spp": round(noise, 6),
+                "depth_delta_over_noise": round(delta / max(noise, 1e-12), 3),
+            }
+        )
     emit(
         "config3_skull_class_obj_area_light_800x450_64spp",
         rays,
         dt,
-        {"tris": int(scene.num_triangles)},
+        extra,
     )
     hf = scenes.mesh_with_area_light(fixtures["heightfield"])
     rays, dt = time_frame(hf, camera, cfg, spp=64)
@@ -169,10 +192,14 @@ def config5(fixtures, quick=False, spp5=0):
     camera = _mesh_cam(w, h, dist=7.0, height=2.6)
     cfg = RenderConfig(width=w, height=h, samples_per_pixel=1, max_depth=12)
     spp_target = spp5 or (8 if quick else 256)
-    # 1-spp sweeps: one 1080p sweep is ~2M rays, which keeps every
-    # dispatch within the device watchdog even on this blob-class scene.
+    # 4-spp sweeps (~8.3M rays each): the round-5 expansion sweep made
+    # this class fast enough that a 4-spp 1080p dispatch stays well
+    # inside the ~30 s device watchdog, and the fatter sweeps amortize
+    # the pool's fresh-claim drain tail that dominated 1-spp sweeps
+    # (ROADMAP: ~4x iteration inflation at spp <= 2).
+    spw = 4 if spp_target % 4 == 0 else 1
     passes = ProgressiveSchedule(
-        ramp=(1,) * spp_target,
+        ramp=(spw,) * (spp_target // spw),
         sustain_64=0, sustain_128=0, sustain_256=0,
     )
     import tempfile, os
@@ -237,6 +264,10 @@ def main():
     ap.add_argument("--quick", action="store_true", help="cap config 5 at 8 spp")
     ap.add_argument("--spp5", type=int, default=0, help="override config 5 spp")
     ap.add_argument("--only", type=int, default=0)
+    ap.add_argument(
+        "--depthcheck", action="store_true",
+        help="config 3: also record depth-16 vs depth-50 agreement",
+    )
     args = ap.parse_args()
 
     from tools.gen_fixtures import ensure_fixtures
@@ -246,7 +277,7 @@ def main():
     if 2 in todo:
         config2()
     if 3 in todo:
-        config3(fixtures)
+        config3(fixtures, depthcheck=args.depthcheck)
     if 4 in todo:
         config4(fixtures)
     if 5 in todo:

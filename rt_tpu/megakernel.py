@@ -342,7 +342,7 @@ def _mega_kernel(
             feat_scr, rays_scr, wl_vmem, wl_smem, sup_vmem, sup_smem,
             slice_vmem, dma_sem, fetch_sems, stream_vmem, stream_sems,
             exp_rays_t, exp_rid_planes, exp_meta_v, exp_vis_v, exp_res_v,
-            exp_resrow_v, exp_dst, exp_best_v,
+            exp_resrow_v, exp_dst, exp_best_v, exp_ovf_v,
             exp_meta_s, exp_vis_s, exp_res_s, exp_best_s,
         ) = refs
         table_ref = None
@@ -1566,290 +1566,306 @@ def _mega_kernel(
                     key = (pltpu.bitcast(t_cand, jnp.int32) & ~127) | exp_lane8
                     return jnp.min(key, axis=1, keepdims=True)
 
-                def expansion_set(cl_ref2, slots_ref2, flavor, shade_base, bt_t, bi_t):
+                def expansion_set(cl_ref2, slots_ref2, flavor, shade_base, bt_t, bi_t, active_n):
                     """Run the expansion pipeline for one primitive set;
-                    returns (bt, bi, overflow lane mask [SUB, G])."""
+                    returns (bt, bi, overflow lane mask [SUB, G]).
+
+                    DRAIN GATE: on near-empty pools (sweep-end drain
+                    tail; ~4x iteration inflation at spp <= 2, ROADMAP)
+                    the expansion's fixed machinery (~150 us of mask /
+                    dst / table passes) dwarfs the work, so the whole
+                    pipeline sits under pl.when(active >= lanes/4) and
+                    communicates through refs: exp_ovf_v defaults to
+                    all-1 (every lane goes to the row-sweep fallback)
+                    and exp_best_v's INT_MAX init makes the merge a
+                    no-op when skipped."""
                     M = cl_ref2.shape[0]
                     n_cl_tab = slots_ref2.shape[1] // CLUSTER_SLOTS
-
-                    # (1) counting pass: per-cluster capped item counts
-                    # (and the per-row overflow masks, reused below)
-                    pc = jnp.zeros((M, 1), f32)
-                    ovf_rows = []
-                    for s in range(SUB):
-                        m_s = jnp.where(slab_enter(cl_ref2[:, :], s), 1.0, 0.0)
-                        csum = cl_prefix(m_s)  # (M, G) inclusive
-                        ovf_s = csum[M - 1 : M, :] > np.float32(EK)
-                        ovf_rows.append(ovf_s)
-                        capped = m_s * jnp.where(
-                            (csum <= np.float32(EK)) & ~ovf_s, 1.0, 0.0
-                        )
-                        pc = pc + jnp.sum(capped, axis=1, keepdims=True)
-
-                    # (2) cluster prefixes, capacity check, per-(s,k) dsts
-                    tm_excl = (
-                        jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
-                        < jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
-                    ).astype(f32)
-                    bb_ = jnp.dot(
-                        tm_excl, pc, preferred_element_type=f32, precision=hp
-                    )  # (M, 1) exclusive item prefix
-                    nvis_c = jnp.ceil(pc * np.float32(0.125))
-                    bv_ = jnp.dot(
-                        tm_excl, nvis_c, preferred_element_type=f32,
-                        precision=hp,
-                    )
-                    ni_f = bb_[M - 1 : M, :] + pc[M - 1 : M, :]  # (1, 1)
-                    nv_f = bv_[M - 1 : M, :] + nvis_c[M - 1 : M, :]
-                    bail = (ni_f > np.float32(ENI)) | (nv_f > np.float32(ENV))
-                    bail_row = jnp.broadcast_to(bail, (1, G))
-                    # concat in i32: Mosaic cannot concatenate i1 vregs
-                    ovf_full = (
-                        vstack(
-                            [
-                                jnp.where(o | bail_row, 1, 0)
-                                for o in ovf_rows
-                            ]
-                        )
-                        > 0
-                    )  # (SUB, G) bool
-                    ni_s = jnp.where(bail, 0.0, ni_f)[0, 0].astype(jnp.int32)
-                    nv_s = jnp.where(bail, 0.0, nv_f)[0, 0].astype(jnp.int32)
-                    if "countexp" in ablate:
-                        acc[0:1, 10:11] += ni_f
-                        acc[0:1, 11:12] += nv_f
-                        acc[0:1, 12:13] += jnp.sum(
-                            jnp.where(ovf_full, 1.0, 0.0)
-                        )
-                    # (2b) dst pass: recompute the masks (cheaper than
-                    # holding K*SUB (M,G) selectors across the B dot) and
-                    # emit per-(s,k) dsts in ONE weighted reduce each:
-                    # dst = Sigma_m sel * (B[m] + rank) - 1, which fuses
-                    # the old rank reduce + cluster-id extraction +
-                    # one-hot B gather into a single pass.
-                    rowoff = jnp.zeros((M, 1), f32)
-                    for s in range(SUB):
-                        m_s = jnp.where(slab_enter(cl_ref2[:, :], s), 1.0, 0.0)
-                        csum = cl_prefix(m_s)
-                        capped = m_s * jnp.where(
-                            (csum <= np.float32(EK)) & ~ovf_rows[s], 1.0, 0.0
-                        )
-                        lp = jnp.dot(
-                            capped, ltg, preferred_element_type=f32
-                        )  # lane-inclusive rank within row
-                        wgt = lp + rowoff + bb_  # (M, G): global rank + base
-                        for k in range(EK):
-                            sel = capped * jnp.where(
-                                csum == np.float32(k + 1), 1.0, 0.0
-                            )
-                            dst = (
-                                jnp.sum(sel * wgt, axis=0, keepdims=True)
-                                - 1.0
-                            )  # -1 when the ray has no k-th cluster
-                            exp_dst[s * EK + k : s * EK + k + 1, :] = (
-                                dst.astype(jnp.int32)
-                            )
-                        rowoff = rowoff + lp[:, G - 1 : G]
-
-                    # (3) scatter ray-id byte planes to dense item slots
-                    def sc_body(c):
-                        base = c * ECH
-                        tot = None
-                        for s in range(SUB):
-                            pm = jnp.zeros((ECH, G), f32)
-                            for k in range(EK):
-                                d = exp_dst[s * EK + k : s * EK + k + 1, :] - base
-                                pm = jnp.maximum(
-                                    pm, jnp.where(ch_iota == d, 1.0, 0.0)
-                                )
-                            lane_lin = s * G + g_iota_row  # (1, G)
-                            vals = jnp.concatenate(
-                                [
-                                    (lane_lin >> 8).astype(f32),
-                                    (lane_lin & 255).astype(f32),
-                                ],
-                                axis=0,
-                            )  # (2, G) byte planes, bf16-exact
-                            part = jax.lax.dot_general(
-                                vals, pm, ddp2, preferred_element_type=f32
-                            )  # (2, ECH)
-                            tot = part if tot is None else tot + part
-                        cc = jnp.minimum(c, NIQ - 1)
-                        exp_rid_planes[
-                            0:2, pl.ds(pl.multiple_of(cc * ECH, ECH), ECH)
-                        ] = tot
-                        return c + 1
-
-                    jax.lax.while_loop(
-                        lambda c: c * ECH < ni_s, sc_body, jnp.int32(0)
-                    )
-                    rid_all = jnp.clip(
-                        (
-                            jnp.floor(exp_rid_planes[0:1, :] + 0.5).astype(
-                                jnp.int32
-                            )
-                            << 8
-                        )
-                        | jnp.floor(exp_rid_planes[1:2, :] + 0.5).astype(
-                            jnp.int32
-                        ),
-                        0,
-                        R - 1,
-                    )  # (1, ENI)
-
-                    # (4) item -> cluster (searchsorted over bb_), packed
-                    # with the scattered ray id into the dense meta rows,
-                    # and the visit tables (cluster + start item per visit)
-                    for b in range(8):
-                        ii = (
-                            jax.lax.broadcasted_iota(jnp.int32, (M, ENIB), 1)
-                            + b * ENIB
-                        ).astype(f32)
-                        cnt = jnp.sum(
-                            jnp.where(ii >= bb_, 1.0, 0.0),
-                            axis=0,
-                            keepdims=True,
-                        )
-                        icl_b = (cnt - 1.0).astype(jnp.int32)
-                        rid_b = rid_all[0:1, b * ENIB : (b + 1) * ENIB]
-                        exp_meta_v[b : b + 1, :] = (icl_b << 12) | rid_b
-                    shift1 = jnp.where(
-                        jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
-                        == jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) - 1,
-                        1.0,
-                        0.0,
-                    )  # S @ x = x shifted down one (row 0 -> 0)
-                    db_ = bb_ - jnp.dot(
-                        shift1, bb_, preferred_element_type=f32, precision=hp
-                    )
-                    dbv = bv_ - jnp.dot(
-                        shift1, bv_, preferred_element_type=f32, precision=hp
-                    )
-                    for b in range(8):
-                        vv = (
-                            jax.lax.broadcasted_iota(jnp.int32, (M, ENVB), 1)
-                            + b * ENVB
-                        ).astype(f32)
-                        cmp = jnp.where(vv >= bv_, 1.0, 0.0)
-                        vc = jnp.sum(cmp, axis=0, keepdims=True) - 1.0
-                        bd_at = jnp.sum(cmp * db_, axis=0, keepdims=True)
-                        bv_at = jnp.sum(cmp * dbv, axis=0, keepdims=True)
-                        vst = bd_at + 8.0 * (vv[0:1, :] - bv_at)
-                        exp_vis_v[b : b + 1, :] = (
-                            jnp.clip(vc, 0, n_cl_tab - 1).astype(jnp.int32)
-                            << 14
-                        ) | jnp.clip(vst, 0, ENI - 8).astype(jnp.int32)
-                    dma_to(exp_meta_v, exp_meta_s)
-                    dma_to(exp_vis_v, exp_vis_s)
-
-                    # (5) visits: 8-item windows vs one cluster's slots
-                    def vis_body(c):
-                        v = c
-                        for _u in range(_EXP_UNROLL):
-                            vc2 = jnp.minimum(v, ENV - 1)
-                            ev = exp_vis_s[vc2 >> log2envb, vc2 & (ENVB - 1)]
-                            cic = ev >> 14
-                            stc = ev & 16383
-                            sl = slots_ref2[
-                                :,
-                                pl.ds(
-                                    pl.multiple_of(
-                                        cic * CLUSTER_SLOTS, CLUSTER_SLOTS
-                                    ),
-                                    CLUSTER_SLOTS,
-                                ),
-                            ]
-                            its = []
-                            for j in range(8):
-                                ix = stc + j
-                                rj = (
-                                    exp_meta_s[ix >> log2enib, ix & (ENIB - 1)]
-                                    & 4095
-                                )
-                                its.append(exp_rays_t[pl.ds(rj, 1), :])
-                            itm = jnp.concatenate(its, axis=0)  # (8, 8)
-                            exp_res_v[pl.ds(stc, 8), 0:1] = flavor(sl, itm)
-                            v = v + 1
-                        return v
-
-                    jax.lax.while_loop(
-                        lambda v: v < nv_s, vis_body, jnp.int32(0)
-                    )
-
-                    # (6) lane-major key copy (SMEM is (8,128)-tiled: the
-                    # (ENI, 1) layout the visits need would pad 8x past
-                    # the budget) then the scalar item -> ray reduction
-                    resf = pltpu.bitcast(exp_res_v[:, :], f32)  # exact move
-                    for b in range(8):
-                        row = jnp.concatenate(
-                            [
-                                resf[
-                                    b * ENIB + q * 128 : b * ENIB
-                                    + (q + 1) * 128,
-                                    0:1,
-                                ].T
-                                for q in range(ENIB // 128)
-                            ],
-                            axis=1,
-                        )  # (1, ENIB)
-                        exp_resrow_v[b : b + 1, :] = pltpu.bitcast(
-                            row, jnp.int32
-                        )
+                    exp_ovf_v[:, :] = jnp.ones((SUB, G), jnp.int32)
                     exp_best_v[:, :] = jnp.where(
                         jax.lax.broadcasted_iota(jnp.int32, (2 * SUB, G), 0)
                         < SUB,
                         jnp.int32(0x7FFFFFFF),
                         0,
                     )
-                    dma_to(exp_best_v, exp_best_s)
-                    dma_to(exp_resrow_v, exp_res_s)
+                    run_gate = active_n >= np.int32(max(R // 4, 1))
 
-                    def red_body(c):
-                        j = c
-                        for _u in range(_EXP_RED_UNROLL):
-                            jc = jnp.minimum(j, ENI - 1)
-                            jr = jc >> log2enib
-                            jl = jc & (ENIB - 1)
-                            em = exp_meta_s[jr, jl]
-                            r = em & 4095
-                            ic = em >> 12
-                            key = exp_res_s[jr, jl]
-                            row = r >> log2g
-                            lane = r & (G - 1)
-                            b = exp_best_s[row, lane]
-                            # Strict < on the TRUNCATED t (slot bits
-                            # masked): items arrive in ascending-cluster
-                            # order, so cross-cluster truncated-t ties
-                            # resolve to the earlier cluster — exactly the
-                            # row sweep's visit-order tie-break.  (Within
-                            # a cluster the visit's packed min already
-                            # picked the lowest slot, as the sweep does.)
-                            bet = (key & ~127) < b
-                            exp_best_s[row, lane] = jnp.where(
-                                bet, key & ~127, b
+                    @pl.when(run_gate)
+                    def _run_expansion():
+                        # (1) counting pass: per-cluster capped item counts
+                        # (and the per-row overflow masks, reused below)
+                        pc = jnp.zeros((M, 1), f32)
+                        ovf_rows = []
+                        for s in range(SUB):
+                            m_s = jnp.where(slab_enter(cl_ref2[:, :], s), 1.0, 0.0)
+                            csum = cl_prefix(m_s)  # (M, G) inclusive
+                            ovf_s = csum[M - 1 : M, :] > np.float32(EK)
+                            ovf_rows.append(ovf_s)
+                            capped = m_s * jnp.where(
+                                (csum <= np.float32(EK)) & ~ovf_s, 1.0, 0.0
                             )
-                            cs = ic * CLUSTER_SLOTS + (key & 127)
-                            exp_best_s[SUB + row, lane] = jnp.where(
-                                bet, cs, exp_best_s[SUB + row, lane]
-                            )
-                            j = j + 1
-                        return j
+                            pc = pc + jnp.sum(capped, axis=1, keepdims=True)
 
-                    jax.lax.while_loop(
-                        lambda j: j < ni_s, red_body, jnp.int32(0)
-                    )
-                    if "expdump:" in ablate and shade_base != 0:
-                        # debug: 128 packed meta/key words from item
-                        # offset lo (row-aligned) -> acc
-                        lo_d = int(ablate.split("expdump:")[1].split()[0])
-                        br, bl = lo_d // ENIB, lo_d % ENIB
-                        acc[0:1, 128:256] += exp_meta_v[
-                            br : br + 1, bl : bl + 128
-                        ].astype(f32)  # (icl << 12) | rid
-                        acc[8:9, 128:256] += pltpu.bitcast(
-                            exp_resrow_v[br : br + 1, bl : bl + 128], f32
-                        )  # keys as f32 t
-                    dma_to(exp_best_s, exp_best_v)
+                        # (2) cluster prefixes, capacity check, per-(s,k) dsts
+                        tm_excl = (
+                            jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+                            < jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+                        ).astype(f32)
+                        bb_ = jnp.dot(
+                            tm_excl, pc, preferred_element_type=f32, precision=hp
+                        )  # (M, 1) exclusive item prefix
+                        nvis_c = jnp.ceil(pc * np.float32(0.125))
+                        bv_ = jnp.dot(
+                            tm_excl, nvis_c, preferred_element_type=f32,
+                            precision=hp,
+                        )
+                        ni_f = bb_[M - 1 : M, :] + pc[M - 1 : M, :]  # (1, 1)
+                        nv_f = bv_[M - 1 : M, :] + nvis_c[M - 1 : M, :]
+                        bail = (ni_f > np.float32(ENI)) | (nv_f > np.float32(ENV))
+                        bail_row = jnp.broadcast_to(bail, (1, G))
+                        # concat in i32: Mosaic cannot concatenate i1 vregs
+                        ovf_full = (
+                            vstack(
+                                [
+                                    jnp.where(o | bail_row, 1, 0)
+                                    for o in ovf_rows
+                                ]
+                            )
+                            > 0
+                        )  # (SUB, G) bool
+                        exp_ovf_v[:, :] = jnp.where(ovf_full, 1, 0)
+                        ni_s = jnp.where(bail, 0.0, ni_f)[0, 0].astype(jnp.int32)
+                        nv_s = jnp.where(bail, 0.0, nv_f)[0, 0].astype(jnp.int32)
+                        if "countexp" in ablate:
+                            acc[0:1, 10:11] += ni_f
+                            acc[0:1, 11:12] += nv_f
+                            acc[0:1, 12:13] += jnp.sum(
+                                jnp.where(ovf_full, 1.0, 0.0)
+                            )
+                        # (2b) dst pass: recompute the masks (cheaper than
+                        # holding K*SUB (M,G) selectors across the B dot) and
+                        # emit per-(s,k) dsts in ONE weighted reduce each:
+                        # dst = Sigma_m sel * (B[m] + rank) - 1, which fuses
+                        # the old rank reduce + cluster-id extraction +
+                        # one-hot B gather into a single pass.
+                        rowoff = jnp.zeros((M, 1), f32)
+                        for s in range(SUB):
+                            m_s = jnp.where(slab_enter(cl_ref2[:, :], s), 1.0, 0.0)
+                            csum = cl_prefix(m_s)
+                            capped = m_s * jnp.where(
+                                (csum <= np.float32(EK)) & ~ovf_rows[s], 1.0, 0.0
+                            )
+                            lp = jnp.dot(
+                                capped, ltg, preferred_element_type=f32
+                            )  # lane-inclusive rank within row
+                            wgt = lp + rowoff + bb_  # (M, G): global rank + base
+                            for k in range(EK):
+                                sel = capped * jnp.where(
+                                    csum == np.float32(k + 1), 1.0, 0.0
+                                )
+                                dst = (
+                                    jnp.sum(sel * wgt, axis=0, keepdims=True)
+                                    - 1.0
+                                )  # -1 when the ray has no k-th cluster
+                                exp_dst[s * EK + k : s * EK + k + 1, :] = (
+                                    dst.astype(jnp.int32)
+                                )
+                            rowoff = rowoff + lp[:, G - 1 : G]
+
+                        # (3) scatter ray-id byte planes to dense item slots
+                        def sc_body(c):
+                            base = c * ECH
+                            tot = None
+                            for s in range(SUB):
+                                pm = jnp.zeros((ECH, G), f32)
+                                for k in range(EK):
+                                    d = exp_dst[s * EK + k : s * EK + k + 1, :] - base
+                                    pm = jnp.maximum(
+                                        pm, jnp.where(ch_iota == d, 1.0, 0.0)
+                                    )
+                                lane_lin = s * G + g_iota_row  # (1, G)
+                                vals = jnp.concatenate(
+                                    [
+                                        (lane_lin >> 8).astype(f32),
+                                        (lane_lin & 255).astype(f32),
+                                    ],
+                                    axis=0,
+                                )  # (2, G) byte planes, bf16-exact
+                                part = jax.lax.dot_general(
+                                    vals, pm, ddp2, preferred_element_type=f32
+                                )  # (2, ECH)
+                                tot = part if tot is None else tot + part
+                            cc = jnp.minimum(c, NIQ - 1)
+                            exp_rid_planes[
+                                0:2, pl.ds(pl.multiple_of(cc * ECH, ECH), ECH)
+                            ] = tot
+                            return c + 1
+
+                        jax.lax.while_loop(
+                            lambda c: c * ECH < ni_s, sc_body, jnp.int32(0)
+                        )
+                        rid_all = jnp.clip(
+                            (
+                                jnp.floor(exp_rid_planes[0:1, :] + 0.5).astype(
+                                    jnp.int32
+                                )
+                                << 8
+                            )
+                            | jnp.floor(exp_rid_planes[1:2, :] + 0.5).astype(
+                                jnp.int32
+                            ),
+                            0,
+                            R - 1,
+                        )  # (1, ENI)
+
+                        # (4) item -> cluster (searchsorted over bb_), packed
+                        # with the scattered ray id into the dense meta rows,
+                        # and the visit tables (cluster + start item per visit)
+                        for b in range(8):
+                            ii = (
+                                jax.lax.broadcasted_iota(jnp.int32, (M, ENIB), 1)
+                                + b * ENIB
+                            ).astype(f32)
+                            cnt = jnp.sum(
+                                jnp.where(ii >= bb_, 1.0, 0.0),
+                                axis=0,
+                                keepdims=True,
+                            )
+                            icl_b = (cnt - 1.0).astype(jnp.int32)
+                            rid_b = rid_all[0:1, b * ENIB : (b + 1) * ENIB]
+                            exp_meta_v[b : b + 1, :] = (icl_b << 12) | rid_b
+                        shift1 = jnp.where(
+                            jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+                            == jax.lax.broadcasted_iota(jnp.int32, (M, M), 0) - 1,
+                            1.0,
+                            0.0,
+                        )  # S @ x = x shifted down one (row 0 -> 0)
+                        db_ = bb_ - jnp.dot(
+                            shift1, bb_, preferred_element_type=f32, precision=hp
+                        )
+                        dbv = bv_ - jnp.dot(
+                            shift1, bv_, preferred_element_type=f32, precision=hp
+                        )
+                        for b in range(8):
+                            vv = (
+                                jax.lax.broadcasted_iota(jnp.int32, (M, ENVB), 1)
+                                + b * ENVB
+                            ).astype(f32)
+                            cmp = jnp.where(vv >= bv_, 1.0, 0.0)
+                            vc = jnp.sum(cmp, axis=0, keepdims=True) - 1.0
+                            bd_at = jnp.sum(cmp * db_, axis=0, keepdims=True)
+                            bv_at = jnp.sum(cmp * dbv, axis=0, keepdims=True)
+                            vst = bd_at + 8.0 * (vv[0:1, :] - bv_at)
+                            exp_vis_v[b : b + 1, :] = (
+                                jnp.clip(vc, 0, n_cl_tab - 1).astype(jnp.int32)
+                                << 14
+                            ) | jnp.clip(vst, 0, ENI - 8).astype(jnp.int32)
+                        dma_to(exp_meta_v, exp_meta_s)
+                        dma_to(exp_vis_v, exp_vis_s)
+
+                        # (5) visits: 8-item windows vs one cluster's slots
+                        def vis_body(c):
+                            v = c
+                            for _u in range(_EXP_UNROLL):
+                                vc2 = jnp.minimum(v, ENV - 1)
+                                ev = exp_vis_s[vc2 >> log2envb, vc2 & (ENVB - 1)]
+                                cic = ev >> 14
+                                stc = ev & 16383
+                                sl = slots_ref2[
+                                    :,
+                                    pl.ds(
+                                        pl.multiple_of(
+                                            cic * CLUSTER_SLOTS, CLUSTER_SLOTS
+                                        ),
+                                        CLUSTER_SLOTS,
+                                    ),
+                                ]
+                                its = []
+                                for j in range(8):
+                                    ix = stc + j
+                                    rj = (
+                                        exp_meta_s[ix >> log2enib, ix & (ENIB - 1)]
+                                        & 4095
+                                    )
+                                    its.append(exp_rays_t[pl.ds(rj, 1), :])
+                                itm = jnp.concatenate(its, axis=0)  # (8, 8)
+                                exp_res_v[pl.ds(stc, 8), 0:1] = flavor(sl, itm)
+                                v = v + 1
+                            return v
+
+                        jax.lax.while_loop(
+                            lambda v: v < nv_s, vis_body, jnp.int32(0)
+                        )
+
+                        # (6) lane-major key copy (SMEM is (8,128)-tiled: the
+                        # (ENI, 1) layout the visits need would pad 8x past
+                        # the budget) then the scalar item -> ray reduction
+                        resf = pltpu.bitcast(exp_res_v[:, :], f32)  # exact move
+                        for b in range(8):
+                            row = jnp.concatenate(
+                                [
+                                    resf[
+                                        b * ENIB + q * 128 : b * ENIB
+                                        + (q + 1) * 128,
+                                        0:1,
+                                    ].T
+                                    for q in range(ENIB // 128)
+                                ],
+                                axis=1,
+                            )  # (1, ENIB)
+                            exp_resrow_v[b : b + 1, :] = pltpu.bitcast(
+                                row, jnp.int32
+                            )
+                        dma_to(exp_best_v, exp_best_s)
+                        dma_to(exp_resrow_v, exp_res_s)
+
+                        def red_body(c):
+                            j = c
+                            for _u in range(_EXP_RED_UNROLL):
+                                jc = jnp.minimum(j, ENI - 1)
+                                jr = jc >> log2enib
+                                jl = jc & (ENIB - 1)
+                                em = exp_meta_s[jr, jl]
+                                r = em & 4095
+                                ic = em >> 12
+                                key = exp_res_s[jr, jl]
+                                row = r >> log2g
+                                lane = r & (G - 1)
+                                b = exp_best_s[row, lane]
+                                # Strict < on the TRUNCATED t (slot bits
+                                # masked): items arrive in ascending-cluster
+                                # order, so cross-cluster truncated-t ties
+                                # resolve to the earlier cluster — exactly the
+                                # row sweep's visit-order tie-break.  (Within
+                                # a cluster the visit's packed min already
+                                # picked the lowest slot, as the sweep does.)
+                                bet = (key & ~127) < b
+                                exp_best_s[row, lane] = jnp.where(
+                                    bet, key & ~127, b
+                                )
+                                cs = ic * CLUSTER_SLOTS + (key & 127)
+                                exp_best_s[SUB + row, lane] = jnp.where(
+                                    bet, cs, exp_best_s[SUB + row, lane]
+                                )
+                                j = j + 1
+                            return j
+
+                        jax.lax.while_loop(
+                            lambda j: j < ni_s, red_body, jnp.int32(0)
+                        )
+                        if "expdump:" in ablate and shade_base != 0:
+                            # debug: 128 packed meta/key words from item
+                            # offset lo (row-aligned) -> acc
+                            lo_d = int(ablate.split("expdump:")[1].split()[0])
+                            br, bl = lo_d // ENIB, lo_d % ENIB
+                            acc[0:1, 128:256] += exp_meta_v[
+                                br : br + 1, bl : bl + 128
+                            ].astype(f32)  # (icl << 12) | rid
+                            acc[8:9, 128:256] += pltpu.bitcast(
+                                exp_resrow_v[br : br + 1, bl : bl + 128], f32
+                            )  # keys as f32 t
+                        dma_to(exp_best_s, exp_best_v)
+                    ovf_full = exp_ovf_v[:, :] > 0
                     keyv = exp_best_v[0:SUB, :]
                     csv = exp_best_v[SUB : 2 * SUB, :]
                     btv = pltpu.bitcast(keyv & ~127, f32)
@@ -1866,6 +1882,7 @@ def _mega_kernel(
                 for f_i, val in enumerate((ox, oy, oz, dx, dy, dz, a, inv_a)):
                     rays_scr[f_i * SUB : (f_i + 1) * SUB, :] = val
                 if expand_sweep:
+                    n_act_cl = jnp.sum(jnp.where(active, 1, 0))
                     # Ray-on-sublane transposed pool copy: visits gather
                     # their 8 items' state as sublane-dynamic (1, 8)
                     # slices (exact data movement, no matmul round trip).
@@ -1884,7 +1901,8 @@ def _mega_kernel(
                     lane_mask = None
                     if expand_sweep:
                         bt_t, bi_t, lane_mask = expansion_set(
-                            scl_ref, sslots_ref, sph_visit_key, 0, bt_t, bi_t
+                            scl_ref, sslots_ref, sph_visit_key, 0, bt_t,
+                            bi_t, n_act_cl,
                         )
                     mask = pool_enter_mask(ssup_ref[:, :], lane_mask)
                     n_ent = stage_super_list(mask)
@@ -1910,7 +1928,7 @@ def _mega_kernel(
                         bt_pre = bt_t
                         bt_t, bi_t, lane_mask = expansion_set(
                             tcl_ref, tslots_ref, tri_visit_key, n_sph_slots,
-                            bt_t, bi_t,
+                            bt_t, bi_t, n_act_cl,
                         )
                         if "expcheck" in ablate:
                             # debug: full row sweep from the same pre
@@ -3825,6 +3843,10 @@ def _mega_exec_clustered(
             pltpu.VMEM(
                 (2 * sub, g) if exp_on else (8, 128), jnp.int32
             ),  # exp_best_v: reduced per-ray [key | cluster*128+slot]
+            pltpu.VMEM(
+                (sub, g) if exp_on else (8, 128), jnp.int32
+            ),  # exp_ovf_v: overflow lanes (1 = row-sweep fallback);
+            #    defaults to all-1 when the drain gate skips expansion
             pltpu.SMEM(
                 (8, _EXP_NI // 8) if exp_on else (8, 128), jnp.int32
             ),  # exp_meta_s
