@@ -71,9 +71,24 @@ def main():
         scene = scenes.mesh_with_area_light(fx["obj"])
     elif args.scene in ("armor", "car"):
         from tools.gen_fixtures import ensure_fixtures
+        from rt_tpu import sky as sky_mod
+        from rt_tpu.io.gltf_loader import add_gltf_to_scene
+        from rt_tpu.scene import SceneBuilder
 
         fx = ensure_fixtures("/tmp/rt_fixtures")
-        scene = scenes.gltf_scene(fx["glb" if args.scene == "armor" else "car"])
+        b = SceneBuilder()
+        even = b.solid_color((0.1, 0.1, 0.1))
+        odd = b.solid_color((0.95, 0.95, 0.95))
+        scenes.add_ground_plane(
+            b, 10000.0, 10000.0, -0.2, b.lambertian(b.checker(0.75, even, odd)), True
+        )
+        add_gltf_to_scene(
+            b, fx["glb" if args.scene == "armor" else "car"],
+            compat_all_metal=False,
+        )
+        scene = b.build().replace(
+            sky=sky_mod.SkyParams.hosek(turbidity=3.0, albedo=0.3, elevation=0.8)
+        )
     elif args.scene == "360k":
         scene = scenes.cover_scene(300, 300, camera, z=-0.2, seed=0)
     else:
