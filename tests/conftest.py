@@ -30,3 +30,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Drop compiled-program caches between test modules.
+
+    The interpret-mode clustered megakernel (and its round-5 expansion
+    pipeline) compiles to large XLA:CPU programs; with the whole suite's
+    accumulated jit cache in one process, compiling them has segfaulted
+    inside backend_compile_and_load (XLA:CPU under cache/memory
+    pressure — each file passes in a fresh process).  Per-module cache
+    clearing keeps the compiler's working set bounded."""
+    yield
+    jax.clear_caches()
