@@ -3675,7 +3675,10 @@ _EXP_NI = 8192  # dense (ray, cluster) item capacity per set
 _EXP_NV = 2048  # visit capacity (NV can exceed NI/8: 1-item clusters)
 _EXP_CH = 512  # items per scatter-chunk step
 _EXP_MAX_CL = 2048  # per-set cluster bound for the [M, R] mask matmuls
-_EXP_MIN_CHORD = 3.0  # chord-incoherence threshold for expand_sweep=auto
+_EXP_MIN_CHORD = 3.5  # chord-incoherence threshold for expand_sweep=auto
+# (blob 4.2 / armor 3.8 / car 4.7 in; heightfield 2.5 out; a borderline
+# 4.6k-sphere shell at 3.1 measured 36% SLOWER with expansion on the
+# real chip, so the cut sits above it)
 _EXP_UNROLL = 8  # visits per while step (274.7 vs 286 us/iter at 4)
 _EXP_RED_UNROLL = 8  # reduction items per while step
 
