@@ -221,6 +221,10 @@ def _chord_proxy(*sets, n_rays: int = 256, seed: int = 0) -> float:
         if not live.any():
             continue
         clv = cl[live]
+        if len(clv) > 4096:
+            # bound the (n_rays, M, 3) slab transients (~1 GB at 16k
+            # clusters otherwise); a 4k sample keeps the mean stable
+            clv = clv[rng.choice(len(clv), 4096, replace=False)]
         ctr = (clv[:, 0:3] + clv[:, 3:6]) * 0.5
         o = ctr[rng.integers(0, len(clv), n_rays)]
         d = rng.standard_normal((n_rays, 3)).astype(np.float32)
